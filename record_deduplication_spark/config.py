@@ -1,0 +1,52 @@
+"""Shared dedup configuration.
+
+One dataclass serialized into BOTH the single-process oracle
+(`record_deduplication_spark.oracle`) and the Spark pipeline
+(`record_deduplication_spark.plans.pipeline`) so that shingle size,
+hash seeds, band geometry and thresholds are identical on both sides.
+
+The reference scatters its equivalent constants through the code
+(e.g. blocking window=5 at /root/reference/src/core/blocking_engine.py:105-113,
+thresholds at /root/reference/src/core/model_engine.py:54-124); a single
+shared config is the fix for that pitfall (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- text / shingling ---
+    shingle_k: int = 3                 # word-shingle size
+    # --- MinHash-LSH (transcript near-dup) ---
+    num_perm: int = 64                 # MinHash permutations
+    lsh_bands: int = 16                # bands (rows = num_perm // bands = 4)
+    jaccard_threshold: float = 0.80    # verify threshold on exact shingle Jaccard
+    minhash_seed: int = 42
+    # --- SimHash (audio near-dup over decoded-PCM fingerprints) ---
+    fp_frames: int = 64                # energy-envelope frames -> 64-bit fingerprint
+    simhash_hamming_k: int = 3         # max Hamming distance for a candidate
+    snr_db_min: float = 30.0           # per-row invariant: decoded-PCM allclose at SNR>=30dB
+    # --- suffix-array exact-substring ---
+    substring_min_tokens: int = 8      # L: min shared contiguous token run
+    # --- skew handling ---
+    max_block_full_pairs: int = 64     # full pairwise join only for blocks <= this size
+    hot_block_neighbor_w: int = 8      # sorted-neighbor pairing width inside hot blocks
+    # --- clustering ---
+    noise_label: int = -1              # singleton convention
+                                       # (reference: /root/reference/src/core/clustering_engine.py:527-529)
+    cc_checkpoint_every: int = 3       # truncate CC lineage every N iterations
+    cc_max_iters: int = 50
+
+    @property
+    def lsh_rows(self) -> int:
+        assert self.num_perm % self.lsh_bands == 0
+        return self.num_perm // self.lsh_bands
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,188 @@
+"""Deterministic synthetic `clips` corpus with planted duplicate groups.
+
+Schema is exactly the north rule's input_hint (BASELINE.json):
+    clip_id:string, bytes:binary, sr_hz:int, dur_ms:int,
+    codec:string, transcript:string
+plus a ground-truth table `clusters_truth(clip_id, cluster_id)`.
+
+Planted groups (FIXTURES.md §A):
+  - exact dup          identical bytes + transcript
+  - audio near-dup     resampled / additive noise at SNR>=30dB, same transcript
+  - transcript near-dup  <=k token edits, same audio
+  - substring dup      one transcript embedded verbatim (>=L tokens) in a longer one
+  - hot-key group      one large group of near-identical transcripts (skew/salting exercise)
+  - negatives          unrelated audio + transcripts; adversarial negatives share a
+                       few shingles but sit below the Jaccard threshold
+  - singletons         cluster label -1 (reference noise convention,
+                       /root/reference/src/core/clustering_engine.py:527-529)
+
+Everything is keyed by (seed, base_id): re-running with the same seed
+reproduces identical bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .functions.audio import encode_wav, resample_linear
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu river mountain valley ocean forest desert meadow canyon "
+    "harbor island plateau glacier lagoon prairie tundra savanna"
+).split()
+
+_SRS = (8000, 16000, 44100)
+_CODECS = ("pcm_s16le", "flac", "mp3")
+
+
+def _make_pcm(rng: np.random.Generator, sr: int, dur_ms: int) -> np.ndarray:
+    n = int(sr * dur_ms / 1000)
+    t = np.arange(n) / sr
+    x = np.zeros(n)
+    for _ in range(rng.integers(2, 5)):
+        f = float(rng.uniform(80, min(3500, sr / 2 - 100)))
+        amp = float(rng.uniform(0.1, 0.35))
+        ph = float(rng.uniform(0, 2 * np.pi))
+        x += amp * np.sin(2 * np.pi * f * t + ph)
+    # slow envelope so the energy fingerprint has structure
+    env = 0.55 + 0.45 * np.sin(2 * np.pi * rng.uniform(0.5, 3.0) * t + rng.uniform(0, 6.28))
+    x *= env
+    x += rng.normal(0, 0.004, n)  # floor noise, ~ -40dB
+    return np.clip(x, -0.99, 0.99)
+
+
+def _make_transcript(rng: np.random.Generator, n_words: int) -> str:
+    return " ".join(_WORDS[i] for i in rng.integers(0, len(_WORDS), n_words))
+
+
+def _add_noise_snr(rng: np.random.Generator, pcm: np.ndarray, snr_db: float) -> np.ndarray:
+    p_sig = float((pcm * pcm).mean())
+    p_noise = p_sig / (10 ** (snr_db / 10))
+    return np.clip(pcm + rng.normal(0, np.sqrt(p_noise), pcm.size), -0.99, 0.99)
+
+
+def _edit_tokens(rng: np.random.Generator, text: str, n_edits: int) -> str:
+    toks = text.split()
+    for _ in range(n_edits):
+        if len(toks) < 4:
+            break
+        op = rng.integers(0, 3)
+        i = int(rng.integers(0, len(toks)))
+        if op == 0:
+            toks[i] = _WORDS[int(rng.integers(0, len(_WORDS)))]
+        elif op == 1:
+            toks.insert(i, _WORDS[int(rng.integers(0, len(_WORDS)))])
+        else:
+            del toks[i]
+    return " ".join(toks)
+
+
+def generate_clips(n_clips: int = 2000, seed: int = 42,
+                   hot_group_frac: float = 0.05) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Returns (clips_df, truth_df).
+
+    truth cluster_id: non-negative int for planted multi-member groups,
+    -1 for singletons/negatives.
+    """
+    rng = np.random.default_rng(seed)
+    rows: list[dict] = []
+    truth: list[tuple[str, int]] = []
+    next_id = 0
+    cluster = 0
+
+    def cid() -> str:
+        nonlocal next_id
+        s = f"c{next_id:09d}"
+        next_id += 1
+        return s
+
+    def base_clip(n_words: int | None = None, dur_ms: int | None = None):
+        sr = int(_SRS[int(rng.integers(0, 3))])
+        dur = int(dur_ms or rng.integers(200, 3000))
+        pcm = _make_pcm(rng, sr, dur)
+        txt = _make_transcript(rng, int(n_words or rng.integers(6, 40)))
+        return pcm, sr, dur, txt
+
+    def emit(pcm, sr, dur, txt, cluster_id, codec=None):
+        rows.append({
+            "clip_id": cid(),
+            "bytes": encode_wav(pcm, sr),
+            "sr_hz": np.int32(sr),
+            "dur_ms": np.int32(dur),
+            "codec": codec or _CODECS[int(rng.integers(0, 3))],
+            "transcript": txt,
+        })
+        truth.append((rows[-1]["clip_id"], cluster_id))
+
+    n_hot = max(3, int(n_clips * hot_group_frac))
+    n_groups = max(1, int(n_clips * 0.12) // 3)
+    n_planted = n_hot + n_groups * 3  # rough; remainder become negatives/singletons
+
+    # --- planted small groups: rotate through the 4 dup mechanisms ---
+    for g in range(n_groups):
+        kind = g % 4
+        if kind == 1:
+            # audio near-dup with EMPTY transcripts: the audio path must
+            # be load-bearing (text LSH cannot see these clips at all).
+            pcm, sr, dur, _ = base_clip()
+            emit(pcm, sr, dur, "", cluster, codec="pcm_s16le")
+            noisy = _add_noise_snr(rng, pcm, float(rng.uniform(36, 50)))
+            emit(noisy, sr, dur, "", cluster, codec="pcm_s16le")
+            emit(pcm, sr, dur, "", cluster, codec="pcm_s16le")  # exact bytes copy
+        elif kind == 0:  # exact dup (x2 copies)
+            pcm, sr, dur, txt = base_clip()
+            emit(pcm, sr, dur, txt, cluster)
+            emit(pcm, sr, dur, txt, cluster)
+            emit(pcm, sr, dur, txt, cluster)
+        elif kind == 2:  # transcript near-dup: 1 token edit on a long transcript
+            pcm, sr, dur, txt = base_clip(n_words=int(rng.integers(25, 40)))
+            emit(pcm, sr, dur, txt, cluster)
+            txt2 = _edit_tokens(rng, txt, 1)
+            emit(pcm, sr, dur, txt2, cluster)
+        else:  # substring dup: txt embedded verbatim (>=L tokens) in a longer one
+            pcm, sr, dur, txt = base_clip(n_words=int(rng.integers(10, 20)))
+            emit(pcm, sr, dur, txt, cluster)
+            pre = _make_transcript(rng, int(rng.integers(3, 8)))
+            post = _make_transcript(rng, int(rng.integers(3, 8)))
+            pcm2, sr2, dur2, _ = base_clip(dur_ms=dur)
+            emit(pcm2, sr2, dur2, f"{pre} {txt} {post}", cluster)
+        cluster += 1
+
+    # --- hot-key group: near-identical long transcripts (skew exercise) ---
+    pcm, sr, dur, txt = base_clip(n_words=30)
+    for i in range(n_hot):
+        # tiny tail variation: stays above Jaccard threshold, same LSH bands mostly
+        t = txt if i % 3 == 0 else txt + " " + _WORDS[i % 5]
+        emit(pcm, sr, dur, t, cluster, codec="pcm_s16le")
+    cluster += 1
+
+    # --- adversarial negatives: share a shingle prefix, below threshold ---
+    n_adv = max(2, n_clips // 50)
+    shared_prefix = _make_transcript(rng, 3)
+    for _ in range(n_adv):
+        pcm, sr, dur, txt = base_clip(n_words=25)
+        emit(pcm, sr, dur, f"{shared_prefix} {txt}", -1)
+
+    # --- plain negatives / singletons ---
+    while len(rows) < n_clips:
+        pcm, sr, dur, txt = base_clip()
+        emit(pcm, sr, dur, txt, -1)
+
+    clips = pd.DataFrame(rows)
+    truth_df = pd.DataFrame(truth, columns=["clip_id", "cluster_id"])
+    return clips, truth_df
+
+
+def write_clips_parquet(out_dir: str, n_clips: int = 2000, seed: int = 42) -> tuple[str, str]:
+    """Materialize clips + truth as parquet; returns (clips_path, truth_path)."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    clips, truth = generate_clips(n_clips=n_clips, seed=seed)
+    cp = os.path.join(out_dir, "clips.parquet")
+    tp = os.path.join(out_dir, "clusters_truth.parquet")
+    clips.to_parquet(cp, index=False)
+    truth.to_parquet(tp, index=False)
+    return cp, tp

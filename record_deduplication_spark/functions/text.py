@@ -1,0 +1,69 @@
+"""Text normalization + shingling kernels.
+
+Numpy/pandas kernels shared by the oracle and by the Spark
+pandas_udfs in ``operators/signatures.py``. Semantics mirror the
+reference's normalize step (NFKD unicode fold -> ascii, lowercase,
+punctuation -> space, whitespace collapse;
+/root/reference/src/core/preprocess_engine.py:58-78) applied to
+transcripts instead of company names.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+
+_WS_RE = re.compile(r"\s+")
+_PUNCT_RE = re.compile(r"[^a-z0-9 ]+")
+
+
+def normalize_text(s: str | None) -> str:
+    """NFKD fold -> ascii, lowercase, punct->space, collapse whitespace."""
+    if s is None:
+        return ""
+    s = unicodedata.normalize("NFKD", s)
+    s = s.encode("ascii", "ignore").decode("ascii").lower()
+    s = _PUNCT_RE.sub(" ", s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def normalize_series(s: pd.Series) -> pd.Series:
+    """Vectorized-ish normalize: python fn per unique value (dedup first)."""
+    uniq = s.dropna().unique()
+    mapping = {u: normalize_text(u) for u in uniq}
+    return s.map(mapping).fillna("")
+
+
+def tokenize(norm: str) -> list[str]:
+    return norm.split() if norm else []
+
+
+def shingles(tokens: list[str], k: int) -> list[str]:
+    """Word k-shingles; a doc shorter than k tokens yields one shingle
+    (the whole doc) so short docs still participate in MinHash."""
+    n = len(tokens)
+    if n == 0:
+        return []
+    if n < k:
+        return [" ".join(tokens)]
+    return [" ".join(tokens[i : i + k]) for i in range(n - k + 1)]
+
+
+def grams(tokens: list[str], L: int) -> list[str]:
+    """Contiguous L-token runs (for the exact-substring stage). A doc
+    shorter than L tokens yields none: it cannot contain/share an
+    L-token run."""
+    n = len(tokens)
+    if n < L:
+        return []
+    return [" ".join(tokens[i : i + L]) for i in range(n - L + 1)]
+
+
+def jaccard(a: set[str], b: set[str]) -> float:
+    if not a and not b:
+        return 0.0
+    inter = len(a & b)
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
