@@ -1,0 +1,117 @@
+"""Distributed connected components over the dup-edge list.
+
+Replaces the reference's single-node union-find (G1,
+/root/reference/src/core/openai_deduplicator.py:126-172) and its
+DBSCAN clustering (C4, /root/reference/src/core/clustering_engine.py:348-352)
+with the alternating **large-star / small-star** algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond";
+load-balancing refinement in the BTS paper, PAPERS.md) — O(log^2 n)
+rounds regardless of component diameter, no node ever accumulates a
+whole component (the hash-to-min failure mode at 10^12 scale).
+
+Implementation is pure DataFrame ops: groupBy-min + self-join per
+round; `localCheckpoint` every cfg.cc_checkpoint_every rounds
+truncates lineage (on a real cluster, use `spark.sparkContext.
+setCheckpointDir` + `checkpoint()` for executor-fault tolerance).
+
+Vertex ids are strings; min is lexicographic — deterministic and
+total, no synthetic numeric ids needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT_CONFIG
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each u: connect strictly larger neighbors to min(Γ(u) ∪ {u})."""
+    sym = _sym(e)
+    mins = (sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", F.col("src")).alias("m")))
+    return (sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges high->low; per node connect all smaller neighbors
+    (and itself) to the minimum neighbor."""
+    o = e.select(F.greatest("src", "dst").alias("src"),
+                 F.least("src", "dst").alias("dst"))
+    mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+    nbrs = (o.join(mins, "src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+    selfe = mins.select("src", F.col("m").alias("dst"))
+    return (nbrs.unionByName(selfe)
+            .where(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    row = (e.agg(F.count(F.lit(1)).alias("n"),
+                 F.coalesce(F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                            F.lit(0).cast("decimal(38,0)")).alias("h"))
+           .collect()[0])
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """edges(id_1, id_2) -> (clip_id, component) for every vertex that
+    appears in an edge; component = lexicographic min clip_id of the
+    component (deterministic canonical representative, the reference's
+    min-id survivor rule at openai_deduplicator.py:174-218)."""
+    e = (edges.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+         .where(F.col("src") != F.col("dst"))
+         .distinct())
+    if e.isEmpty():
+        return e.select(F.col("src").alias("clip_id"), F.col("dst").alias("component")).limit(0)
+
+    prev = None
+    for it in range(cfg.cc_max_iters):
+        e = _small_star(_large_star(e))
+        if (it + 1) % cfg.cc_checkpoint_every == 0:
+            e = e.localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged: e is a star forest (child -> root)
+    children = e.select(F.col("src").alias("clip_id"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("clip_id"), F.col("dst").alias("component")).distinct()
+    return children.unionByName(roots).distinct()
+
+
+def assign_clusters(all_ids: DataFrame, components: DataFrame,
+                    cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Left-join components onto the full id table (C15-analog,
+    /root/reference/src/core/clustering_engine.py:553-570) and densify
+    component representatives to integer cluster ids; vertices in no
+    dup edge get the noise label (-1 convention,
+    /root/reference/src/core/clustering_engine.py:527-529).
+
+    Scale note: densification uses a global-window dense_rank over the
+    DISTINCT component representatives — a reporting convenience that
+    single-partitions only the component list, never the clip table.
+    At extreme component counts keep the string representative as the
+    cluster identity instead (the pipeline's internal contract)."""
+    comp_ids = (components.select("component").distinct()
+                .select("component",
+                        (F.dense_rank().over(Window.orderBy("component")) - 1)
+                        .alias("cluster_id")))
+    return (all_ids.select("clip_id")
+            .join(components, "clip_id", "left")
+            .join(comp_ids, "component", "left")
+            .select("clip_id",
+                    F.coalesce("cluster_id", F.lit(cfg.noise_label)).alias("cluster_id")))

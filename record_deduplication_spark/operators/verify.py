@@ -1,0 +1,166 @@
+"""Pairwise verification of candidate pairs -> dup edges.
+
+Reference analog: the similarity stage F1-F4
+(/root/reference/src/core/similarity_engine.py:76-121) + the
+high-confidence filter M4 (/root/reference/src/core/model_engine.py:259).
+Criteria here are the north rule's:
+
+  exact      sha256(bytes) equal AND transcript_norm equal
+  text       exact shingle-Jaccard >= cfg.jaccard_threshold
+  substring  shared contiguous token run >= L (suffix-array verified)
+  audio      fingerprint Hamming <= k AND transcript_norm equal AND
+             decoded-PCM allclose at SNR >= cfg.snr_db_min  (per-row
+             invariant, BASELINE.json input_hint)
+
+All Python verification is vectorized `pandas_udf` (text) or
+`mapInPandas` (audio — batch-iterates the re-joined binary payloads of
+the few surviving candidates; bytes never enter a groupBy/window).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DedupConfig
+from ..functions import audio as A
+from ..functions import hashing as H
+from ..functions import text as X
+from ..functions.suffix_array import longest_common_run
+
+
+def jaccard_udf(cfg: DedupConfig):
+    k = cfg.shingle_k
+
+    @F.pandas_udf(T.DoubleType())
+    def _jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            sx = set(X.shingles(X.tokenize(x or ""), k))
+            sy = set(X.shingles(X.tokenize(y or ""), k))
+            out.append(X.jaccard(sx, sy))
+        return pd.Series(out, dtype="float64")
+    return _jac
+
+
+def common_run_udf(cfg: DedupConfig):
+    """Longest shared contiguous token run, via generalized suffix array."""
+
+    @F.pandas_udf(T.IntegerType())
+    def _run(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            out.append(longest_common_run(X.tokenize(x or ""), X.tokenize(y or "")))
+        return pd.Series(out, dtype="int32")
+    return _run
+
+
+def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Verify exact/text/substring criteria.
+
+    Joins the (small relative to clips) candidate set with per-clip
+    normalized transcripts twice — broadcast is wrong here at scale
+    (signed is the big side), so these are shuffle hash/sort-merge
+    joins on clip_id; only the columns needed are carried (column
+    pruning reaches the parquet scan).
+    """
+    ctx = signed.select("clip_id", "transcript_norm", "sha_bytes", "pcm_fp")
+    p = (cands
+         .join(ctx.select(F.col("clip_id").alias("id_1"),
+                          F.col("transcript_norm").alias("norm_1"),
+                          F.col("sha_bytes").alias("sha_1"),
+                          F.col("pcm_fp").alias("fp_1")), "id_1")
+         .join(ctx.select(F.col("clip_id").alias("id_2"),
+                          F.col("transcript_norm").alias("norm_2"),
+                          F.col("sha_bytes").alias("sha_2"),
+                          F.col("pcm_fp").alias("fp_2")), "id_2"))
+
+    has = lambda s: F.array_contains(F.col("sources"), s)  # noqa: E731
+    textish = has("lsh") | has("substring")
+
+    p = p.withColumn(
+        "jaccard",
+        F.when(textish & (F.col("norm_1") != "") & (F.col("norm_2") != ""),
+               jaccard_udf(cfg)(F.col("norm_1"), F.col("norm_2"))))
+    p = p.withColumn(
+        "common_run",
+        F.when(has("substring"),
+               common_run_udf(cfg)(F.col("norm_1"), F.col("norm_2"))))
+
+    exact_ok = (F.col("sha_1") == F.col("sha_2")) & (F.col("norm_1") == F.col("norm_2"))
+    text_ok = F.col("jaccard") >= F.lit(cfg.jaccard_threshold)
+    substr_ok = F.col("common_run") >= F.lit(cfg.substring_min_tokens)
+
+    return (p.withColumn(
+                "verdict",
+                F.when(exact_ok, F.lit("exact"))
+                 .when(text_ok, F.lit("text"))
+                 .when(substr_ok, F.lit("substring")))
+             .withColumn("score", F.coalesce(F.col("jaccard"),
+                                             F.when(F.col("verdict").isNotNull(), F.lit(1.0)))))
+
+
+def verify_audio(pending: DataFrame, clips: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Audio path for pairs not confirmed by text: Hamming<=k on
+    fingerprints AND equal transcript_norm, then re-join `bytes` for
+    the surviving few and check SNR in mapInPandas (Arrow batches).
+
+    Returns (id_1, id_2, snr_db, audio_ok).
+    """
+    pre = (pending
+           .where(F.array_contains(F.col("sources"), "simhash"))
+           .where(F.col("norm_1") == F.col("norm_2"))
+           .where(F.col("fp_1").isNotNull() & F.col("fp_2").isNotNull())
+           # Hamming via JVM-side bit ops: popcount(xor) with bit_count
+           .where(F.bit_count(F.col("fp_1").bitwiseXOR(F.col("fp_2")))
+                  <= F.lit(cfg.simhash_hamming_k))
+           .select("id_1", "id_2"))
+
+    payload = clips.select("clip_id", "bytes")
+    j = (pre
+         .join(payload.select(F.col("clip_id").alias("id_1"), F.col("bytes").alias("bytes_1")), "id_1")
+         .join(payload.select(F.col("clip_id").alias("id_2"), F.col("bytes").alias("bytes_2")), "id_2"))
+
+    snr_min = cfg.snr_db_min
+
+    def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            snrs, oks = [], []
+            for b1, b2 in zip(pdf["bytes_1"], pdf["bytes_2"]):
+                try:
+                    p1, s1 = A.decode_wav(bytes(b1))
+                    p2, s2 = A.decode_wav(bytes(b2))
+                    ok, s = A.pcm_allclose_snr(p1, s1, p2, s2, snr_min)
+                except Exception:
+                    ok, s = False, float("-inf")
+                snrs.append(s)
+                oks.append(ok)
+            yield pd.DataFrame({"id_1": pdf["id_1"], "id_2": pdf["id_2"],
+                                "snr_db": snrs, "audio_ok": oks})
+
+    schema = T.StructType([
+        T.StructField("id_1", T.StringType()),
+        T.StructField("id_2", T.StringType()),
+        T.StructField("snr_db", T.DoubleType()),
+        T.StructField("audio_ok", T.BooleanType()),
+    ])
+    return j.mapInPandas(_check, schema=schema)
+
+
+def build_edges(cands: DataFrame, signed: DataFrame, clips: DataFrame,
+                cfg: DedupConfig) -> DataFrame:
+    """Full verification -> dup-edge list (id_1, id_2, verdict, score)."""
+    v = verify_text(cands, signed, cfg)
+    confirmed = v.where(F.col("verdict").isNotNull())
+    pending = v.where(F.col("verdict").isNull())
+    audio = (verify_audio(pending, clips, cfg)
+             .where(F.col("audio_ok"))
+             .select("id_1", "id_2",
+                     F.lit("audio").alias("verdict"),
+                     F.col("snr_db").alias("score")))
+    return (confirmed.select("id_1", "id_2", "verdict", "score")
+            .unionByName(audio))

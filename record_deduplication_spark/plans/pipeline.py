@@ -1,0 +1,102 @@
+"""End-to-end dedup pipeline: the engine's flagship dataflow.
+
+normalize+sign -> block (exact | MinHash-LSH | SimHash | L-gram)
+-> union candidates -> verify (text/substring/audio) -> dup edges
+-> connected components -> cluster table (+ stats, metrics).
+
+Stage-as-checkpoint is the load-bearing design the reference implies
+but never finished (its orchestrator is dead code —
+/root/reference/src/pipeline/orchestrator.py:90-166, SURVEY.md §3.4):
+every stage here commits a table via CheckpointStore and `resume=True`
+skips completed stages.
+
+Scale posture (designed for 10^12 clips / 1000 executors even though
+tests run local[32]):
+- `bytes` never crosses a shuffle: fingerprints + sha computed in the
+  signature scan, payload re-joined only for surviving audio pairs.
+- candidate generation is linear per block (capped/neighbor pairing);
+  hot LSH bands cannot go quadratic.
+- CC is large-star/small-star: O(log^2) rounds, skew-balanced.
+- All joins are key-equi joins Catalyst can plan as shuffle hash /
+  sort-merge with AQE skew splitting; no driver-side loops over rows.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig, DEFAULT_CONFIG
+from ..operators import blocking as B
+from ..operators.cc import assign_clusters, connected_components
+from ..operators.signatures import add_signatures
+from ..operators.verify import build_edges
+from ..sources.checkpoint import CheckpointStore
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame
+    edges: DataFrame
+    candidates: DataFrame
+    stats: dict
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, workdir: str,
+                 cfg: DedupConfig = DEFAULT_CONFIG):
+        self.spark = spark
+        self.cfg = cfg
+        self.store = CheckpointStore(spark, workdir)
+
+    def _stage(self, name: str, run_id: int, resume: bool, build) -> DataFrame:
+        if resume and self.store.exists(name):
+            return self.store.read(name)
+        t0 = time.time()
+        df = self.store.write(name, build())
+        self.store.log(run_id, name, t0, df.count(), df.rdd.getNumPartitions())
+        return df
+
+    def run(self, clips: DataFrame, resume: bool = True) -> PipelineResult:
+        cfg = self.cfg
+        run_id = self.store.next_run_id()
+
+        signed = self._stage("signed", run_id, resume,
+                             lambda: add_signatures(clips, cfg))
+
+        cands = self._stage(
+            "candidates", run_id, resume,
+            lambda: B.union_candidates(
+                B.exact_candidates(signed, cfg),
+                B.lsh_candidates(signed, cfg),
+                B.simhash_candidates(signed, cfg),
+                B.substring_candidates(signed, cfg)))
+
+        edges = self._stage(
+            "edges", run_id, resume,
+            lambda: build_edges(cands, signed, clips, cfg))
+
+        clusters = self._stage(
+            "clusters", run_id, resume,
+            lambda: assign_clusters(
+                signed.select("clip_id"),
+                connected_components(edges.select("id_1", "id_2"), cfg),
+                cfg))
+
+        n_clips = signed.count()
+        n_cands = cands.count()
+        n_edges = edges.count()
+        stats = {
+            "n_clips": n_clips,
+            "n_candidates": n_cands,
+            "n_edges": n_edges,
+            "n_clusters": clusters.where(F.col("cluster_id") >= 0)
+                                  .select("cluster_id").distinct().count(),
+            "reduction_ratio": B.reduction_ratio(n_clips, n_cands),
+        }
+        self.store.log(run_id, "pipeline_done", time.time(), n_clips, 0, **stats)
+        return PipelineResult(clusters=clusters, edges=edges,
+                              candidates=cands, stats=stats)

@@ -1,0 +1,38 @@
+"""SparkSession factory with the engine's tuned defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app: str = "record_dedup_spark", master: str | None = None,
+                  shuffle_partitions: int | None = None,
+                  extra: dict[str, str] | None = None) -> SparkSession:
+    """local[N] for tests/bench; on a real cluster pass master=None and
+    let spark-submit own it. Shuffle partitions default to the local
+    core count (the 200 default over-parallelizes small data and
+    under-parallelizes 100 TB — size explicitly per deployment)."""
+    cores = os.cpu_count() or 8
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER",
+                                f"local[{os.environ.get('SPARK_GRAFT_CPUS', cores)}]")
+    if shuffle_partitions is None:
+        n = master.split("[")[-1].rstrip("]") if "[" in master else str(cores)
+        shuffle_partitions = cores if n == "*" else max(int(n), 4)
+    b = (SparkSession.builder.appName(app).master(master)
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048"))
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

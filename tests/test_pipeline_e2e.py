@@ -1,0 +1,108 @@
+"""End-to-end Spark pipeline vs oracle vs planted truth.
+
+The correctness gate of the north rule: dup-pair recall >= 0.99 vs the
+reference-semantics oracle at identical DedupConfig, plus the property
+tests from SURVEY.md §5 (pair canonicalization, CC idempotence,
+resume).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from record_deduplication_spark.config import DEFAULT_CONFIG
+from record_deduplication_spark.datagen import write_clips_parquet
+from record_deduplication_spark.oracle import oracle_dedup, pair_recall
+from record_deduplication_spark.plans.pipeline import DedupPipeline
+
+N_CLIPS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus_paths(tmpdir_session):
+    return write_clips_parquet(os.path.join(tmpdir_session, "corpus"),
+                               n_clips=N_CLIPS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus_paths, tmpdir_session):
+    clips_path, _ = corpus_paths
+    clips = spark.read.parquet(clips_path)
+    pipe = DedupPipeline(spark, os.path.join(tmpdir_session, "work"))
+    return pipe.run(clips, resume=False)
+
+
+def test_pair_canonicalization(result):
+    bad = result.candidates.where(F.col("id_1") >= F.col("id_2")).count()
+    assert bad == 0  # id_1 < id_2, no self-pairs (reference bug class, SURVEY §5.5)
+
+
+def test_candidates_nonquadratic(result):
+    n = result.stats["n_clips"]
+    assert result.stats["n_candidates"] < n * 40  # blocking, not O(n^2)
+    assert result.stats["reduction_ratio"] > 0.9
+
+
+def test_recall_vs_oracle(spark, corpus_paths, result):
+    import pandas as pd
+    clips_path, _ = corpus_paths
+    clips_pd = pd.read_parquet(clips_path)
+    ora = oracle_dedup(clips_pd, DEFAULT_CONFIG)
+    ours = result.clusters.toPandas()
+    recall = pair_recall(ours, ora["clusters"])
+    assert recall >= 0.99, f"dup-pair recall vs oracle = {recall:.4f}"
+    # precision guard: we should not invent co-memberships the oracle lacks
+    from record_deduplication_spark.oracle import cluster_pairs
+    extra = cluster_pairs(ours) - cluster_pairs(ora["clusters"])
+    assert len(extra) <= max(2, len(cluster_pairs(ora["clusters"])) // 100)
+
+
+def test_recall_vs_planted_truth(spark, corpus_paths, result):
+    import pandas as pd
+    _, truth_path = corpus_paths
+    truth = pd.read_parquet(truth_path)
+    ours = result.clusters.toPandas()
+    recall = pair_recall(ours, truth)
+    assert recall >= 0.99, f"dup-pair recall vs planted truth = {recall:.4f}"
+
+
+def test_noise_convention(result):
+    cl = result.clusters
+    sizes = (cl.where(F.col("cluster_id") >= 0)
+             .groupBy("cluster_id").count().toPandas())
+    assert (sizes["count"] >= 2).all()  # no size-1 "clusters"; singletons are -1
+    assert cl.where(F.col("cluster_id") == -1).count() > 0
+
+
+def test_edges_never_split_across_clusters(result):
+    """C12-analog validation (SURVEY §2.6): CC guarantees by construction
+    that no verified dup edge crosses a cluster boundary."""
+    cl = result.clusters
+    e = (result.edges
+         .join(cl.withColumnRenamed("clip_id", "id_1")
+                 .withColumnRenamed("cluster_id", "c1"), "id_1")
+         .join(cl.withColumnRenamed("clip_id", "id_2")
+                 .withColumnRenamed("cluster_id", "c2"), "id_2"))
+    assert e.where(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_resume_reproduces(spark, corpus_paths, tmpdir_session, result):
+    """Kill-after-stage-k contract: re-running with resume=True reads
+    checkpoints and reproduces the identical cluster table."""
+    clips_path, _ = corpus_paths
+    clips = spark.read.parquet(clips_path)
+    pipe = DedupPipeline(spark, os.path.join(tmpdir_session, "work"))
+    again = pipe.run(clips, resume=True)
+    a = result.clusters.orderBy("clip_id").toPandas()
+    b = again.clusters.orderBy("clip_id").toPandas()
+    assert a.equals(b)
+
+
+def test_metrics_lineage(spark, tmpdir_session, result):
+    from record_deduplication_spark.sources.checkpoint import CheckpointStore
+    store = CheckpointStore(spark, os.path.join(tmpdir_session, "work"))
+    m = store.metrics().toPandas()
+    stages = set(m["stage"])
+    assert {"signed", "candidates", "edges", "clusters"} <= stages
+    assert (m["rows"] >= 0).all() and (m["duration_s"] >= 0).all()
