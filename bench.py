@@ -1,0 +1,167 @@
+"""Benchmark harness.
+
+Default mode (what the driver runs): executes the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] plus the clips-dedup pipeline end-to-end on a
+deterministic synthetic corpus sized to the SF, and prints ONE JSON
+line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "clips_per_sec": ...}
+
+--scaling mode: runs the same e2e dedup job at two parallelism levels
+(local[8] vs local[32]) on identical input via subprocesses and prints
+throughput at both + scaling efficiency (the sandbox evidence for the
+north rule's N->4N executor criterion); also refreshes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "minhash_lsh_pairs",
+    "shingle_jaccard_pairs",
+    "substring_run_pairs",
+    "simhash_fingerprints",
+    "exact_dup_groups",
+    "cosine_topk",
+    "q1_agg",
+    "token_count_stats",
+    "window_dedup_first_order",
+    "events_hourly",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _corpus_dir(n_clips: int, seed: int = 42) -> str:
+    """Deterministic synthetic clips corpus, cached under data/."""
+    d = os.path.join(REPO, "data", f"clips_n{n_clips}_s{seed}")
+    marker = os.path.join(d, "clips.parquet")
+    if not os.path.exists(marker):
+        from record_deduplication_spark.datagen import write_clips_parquet
+        write_clips_parquet(d, n_clips=n_clips, seed=seed)
+    return d
+
+
+def run_dedup_e2e(spark, corpus: str, workdir: str) -> dict:
+    """Full clips pipeline; returns timings + stats."""
+    from record_deduplication_spark.plans.pipeline import DedupPipeline
+    clips = spark.read.parquet(os.path.join(corpus, "clips.parquet"))
+    t0 = time.time()
+    pipe = DedupPipeline(spark, workdir)
+    res = pipe.run(clips, resume=False)
+    res.clusters.count()  # force
+    dt = time.time() - t0
+    return {"sec": dt, "clips_per_sec": res.stats["n_clips"] / dt, **res.stats}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = _sf_of(sf_dir)
+    n_clips = max(400, int(20000 * sf)) if sf > 0 else 2000
+
+    from record_deduplication_spark.analysis import gate_queries as G
+    from record_deduplication_spark.session import build_session
+
+    spark = build_session(app="bench", master=f"local[{cpus}]",
+                          shuffle_partitions=int(cpus))
+
+    timings: dict[str, float] = {}
+    G.register_views(spark, sf_dir)
+    for name in HEADLINE:
+        t0 = time.time()
+        spark.sql(G.PAIRED_SQL[name][0]).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    corpus = _corpus_dir(n_clips)
+    import shutil
+    import tempfile
+    workdir = tempfile.mkdtemp(prefix="bench_dedup_")
+    try:
+        e2e = run_dedup_e2e(spark, corpus, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    timings["clips_dedup_e2e"] = round(e2e["sec"], 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_plus_dedup_e2e_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_clips": e2e["n_clips"],
+        "clips_per_sec": round(e2e["clips_per_sec"], 2),
+        "dedup_stats": {k: e2e[k] for k in
+                        ("n_candidates", "n_edges", "n_clusters", "reduction_ratio")},
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+def _scaling_child(cores: int, n_clips: int) -> dict:
+    """Run e2e dedup alone at a given parallelism; print JSON."""
+    from record_deduplication_spark.session import build_session
+    import shutil
+    import tempfile
+    spark = build_session(app=f"scale{cores}", master=f"local[{cores}]",
+                          shuffle_partitions=cores)
+    corpus = _corpus_dir(n_clips)
+    workdir = tempfile.mkdtemp(prefix=f"scale_{cores}_")
+    try:
+        e2e = run_dedup_e2e(spark, corpus, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    print(json.dumps({"cores": cores, "sec": e2e["sec"],
+                      "clips_per_sec": e2e["clips_per_sec"]}))
+    spark.stop()
+    return e2e
+
+
+def scaling(n_clips: int = 8000) -> None:
+    _corpus_dir(n_clips)  # pre-generate outside the timed runs
+    out = {}
+    for cores in (8, 32):
+        r = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cores), str(n_clips)],
+            capture_output=True, text=True, check=True)
+        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+        out[cores] = json.loads(line)
+    t8, t32 = out[8]["clips_per_sec"], out[32]["clips_per_sec"]
+    eff = (t32 / t8) / 4.0
+    result = {
+        "metric": "scaling_efficiency_local8_to_local32",
+        "n_clips": n_clips,
+        "throughput_clips_per_sec": {"local[8]": round(t8, 2), "local[32]": round(t32, 2)},
+        "speedup_8_to_32": round(t32 / t8, 3),
+        "efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        scaling(int(sys.argv[2]) if len(sys.argv) > 2 else 8000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        _scaling_child(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

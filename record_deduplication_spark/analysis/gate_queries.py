@@ -1,0 +1,567 @@
+"""Gate queries: paired Spark-SQL / DuckDB-SQL implementations.
+
+Each entry implements one operator family from SURVEY.md §2 (or a
+training-data-pipeline extra) over the driver's testdata tables, with
+an ANSI-SQL twin the driver runs on DuckDB (CORRECTNESS_r{N}.json).
+Determinism rules used throughout:
+
+- hashing is md5-based: Spark `conv(substr(md5(CAST(x AS BINARY)),1,15),16,10)`
+  equals DuckDB `('0x'||substr(md5(x),1,15))::BIGINT` (60-bit, verified);
+- money sums go through integer cents (exact in both engines);
+- ratios are single IEEE divisions of exact integers, rounded;
+- every computed column is aliased identically on both sides.
+
+The dialect differences are mechanical: split/string_split, 0/1-based
+arrays, transform/list_transform, sequence/range, collect_list +
+array_sort / string_agg(... ORDER BY).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+# MinHash-LSH config for the gated documents dedup (kept small so the
+# SQL twin stays cheap; the clips engine uses DedupConfig instead)
+_P = 16          # perms
+_BANDS = 4       # 4 bands x 4 rows
+_K = 3           # word-shingle size
+_JT = 0.5        # verify threshold
+_SUBL = 4        # shared-run length for the substring gate query
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# --------------------------------------------------------------------------
+# Spark-dialect SQL (value: (spark_sql, duckdb_sql))
+# --------------------------------------------------------------------------
+
+_H_SPARK = "CAST(conv(substr(md5(CAST({x} AS BINARY)),1,15),16,10) AS BIGINT)"
+_H_DUCK = "(('0x' || substr(md5({x}),1,15))::BIGINT)"
+
+
+def _shingle_cte_spark() -> str:
+    return f"""
+toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+shd AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
+  FROM toks
+  LATERAL VIEW explode(sequence(0, size(w)-{_K})) t AS i
+  WHERE size(w) >= {_K}
+)"""
+
+
+def _shingle_cte_duck() -> str:
+    return f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shd AS (
+  SELECT DISTINCT doc_id,
+         w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+  FROM toks, unnest(range(len(w)-{_K}+1)) AS t(i)
+  WHERE len(w) >= {_K}
+)"""
+
+
+PAIRED_SQL: dict[str, tuple[str, str]] = {}
+
+
+def _q(name: str, spark_sql: str, duck_sql: str) -> None:
+    PAIRED_SQL[name] = (spark_sql.strip(), duck_sql.strip())
+
+
+# ---- dedup: exact (P7/B1 analog) ----
+_q("exact_dup_groups",
+   """
+SELECT md5(CAST(text AS BINARY)) AS text_hash,
+       count(*) AS n_dups,
+       min(doc_id) AS canonical_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+ORDER BY text_hash
+""",
+   """
+SELECT md5(text) AS text_hash,
+       count(*) AS n_dups,
+       min(doc_id) AS canonical_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+ORDER BY text_hash
+""")
+
+# ---- dedup: prefix-fingerprint blocking (rolling-hash fingerprint family) ----
+_q("prefix_fingerprint_dups",
+   """
+WITH f AS (
+  SELECT doc_id, concat_ws(' ', slice(split(text,' '), 1, 4)) AS fp
+  FROM documents
+)
+SELECT fp, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+""",
+   """
+WITH f AS (
+  SELECT doc_id, array_to_string(string_split(text,' ')[1:4], ' ') AS fp
+  FROM documents
+)
+SELECT fp, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+""")
+
+# ---- dedup: MinHash-LSH banded blocking + exact-Jaccard verify (B4+F4+M4) ----
+_mh_spark = f"""
+WITH {_shingle_cte_spark()},
+mh AS (
+  SELECT doc_id, p,
+         min({_H_SPARK.format(x="concat(s, ':', CAST(p AS STRING))")}) AS mhv
+  FROM shd CROSS JOIN (SELECT explode(sequence(0, {_P - 1})) AS p)
+  GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, CAST(p / {_P // _BANDS} AS INT) AS band,
+         array_join(transform(array_sort(collect_list(struct(p, mhv))),
+                              x -> CAST(x.mhv AS STRING)), ',') AS bkey
+  FROM mh GROUP BY doc_id, CAST(p / {_P // _BANDS} AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.id_1, c.id_2, count(*) AS i
+  FROM cand c
+  JOIN shd x ON x.doc_id = c.id_1
+  JOIN shd y ON y.doc_id = c.id_2 AND y.s = x.s
+  GROUP BY c.id_1, c.id_2
+)
+SELECT i.id_1, i.id_2,
+       round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_1
+JOIN sizes sb ON sb.doc_id = i.id_2
+WHERE i.i / (sa.n + sb.n - i.i) >= {_JT}
+ORDER BY id_1, id_2
+"""
+_mh_duck = f"""
+WITH {_shingle_cte_duck()},
+mh AS (
+  SELECT doc_id, p,
+         min({_H_DUCK.format(x="s || ':' || p::VARCHAR")}) AS mhv
+  FROM shd CROSS JOIN (SELECT unnest(range({_P})) AS p)
+  GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, (p // {_P // _BANDS})::INT AS band,
+         string_agg(mhv::VARCHAR, ',' ORDER BY p) AS bkey
+  FROM mh GROUP BY doc_id, (p // {_P // _BANDS})::INT
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.id_1, c.id_2, count(*) AS i
+  FROM cand c
+  JOIN shd x ON x.doc_id = c.id_1
+  JOIN shd y ON y.doc_id = c.id_2 AND y.s = x.s
+  GROUP BY c.id_1, c.id_2
+)
+SELECT i.id_1, i.id_2,
+       round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_1
+JOIN sizes sb ON sb.doc_id = i.id_2
+WHERE i.i / (sa.n + sb.n - i.i) >= {_JT}
+ORDER BY id_1, id_2
+"""
+_q("minhash_lsh_pairs", _mh_spark, _mh_duck)
+
+# ---- dedup: exact shingle-Jaccard set-similarity join (F4 exact path) ----
+_sj_spark = f"""
+WITH {_shingle_cte_spark()},
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_1, y.doc_id AS id_2, count(*) AS i
+  FROM shd x JOIN shd y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.id_1, i.id_2, round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_1
+JOIN sizes sb ON sb.doc_id = i.id_2
+WHERE i.i / (sa.n + sb.n - i.i) >= 0.35
+ORDER BY id_1, id_2
+"""
+_q("shingle_jaccard_pairs", _sj_spark, _sj_spark.replace(
+    _shingle_cte_spark().strip(), _shingle_cte_duck().strip()))
+
+# ---- dedup: exact-substring (shared L-token-run) blocking ----
+_ss_spark = f"""
+WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+gr AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]) AS g
+  FROM toks
+  LATERAL VIEW explode(sequence(0, size(w)-{_SUBL})) t AS i
+  WHERE size(w) >= {_SUBL}
+)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS shared_runs
+FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY id_1, id_2
+"""
+_ss_duck = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+gr AS (
+  SELECT DISTINCT doc_id,
+         w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+  FROM toks, unnest(range(len(w)-{_SUBL}+1)) AS t(i)
+  WHERE len(w) >= {_SUBL}
+)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS shared_runs
+FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY id_1, id_2
+"""
+_q("substring_run_pairs", _ss_spark, _ss_duck)
+
+# ---- dedup: SimHash fingerprints over word hashes (32-bit) ----
+_sh_spark = f"""
+WITH wd AS (
+  SELECT DISTINCT doc_id, wrd FROM (
+    SELECT doc_id, explode(split(text, ' ')) AS wrd FROM documents)
+),
+wh AS (SELECT doc_id, {_H_SPARK.format(x="wrd")} AS h FROM wd),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM wh CROSS JOIN (SELECT explode(sequence(0, 31)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash32
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+_sh_duck = f"""
+WITH wd AS (
+  SELECT DISTINCT doc_id, wrd FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS wrd FROM documents)
+),
+wh AS (SELECT doc_id, {_H_DUCK.format(x="wrd")} AS h FROM wd),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM wh CROSS JOIN (SELECT unnest(range(32)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash32
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+_q("simhash_fingerprints", _sh_spark, _sh_duck)
+
+# ---- text analysis: token counting + per-language stats ----
+_q("token_count_stats",
+   """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(size(split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang ORDER BY lang
+""",
+   """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang ORDER BY lang
+""")
+
+# ---- text analysis: quality scoring (length/diversity ratios) ----
+_q("quality_scores",
+   """
+WITH t AS (
+  SELECT doc_id, split(text, ' ') AS w FROM documents
+),
+m AS (
+  SELECT doc_id, size(w) AS n_tokens,
+         size(array_distinct(w)) AS n_distinct
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(n_distinct / n_tokens, 6) AS distinct_ratio
+FROM m ORDER BY distinct_ratio DESC, doc_id LIMIT 50
+""",
+   """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+m AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         len(list_distinct(w)) AS n_distinct
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(n_distinct / n_tokens, 6) AS distinct_ratio
+FROM m ORDER BY distinct_ratio DESC, doc_id LIMIT 50
+""")
+
+# ---- text analysis: rolling polynomial document fingerprint ----
+_q("doc_rolling_fingerprint",
+   f"""
+WITH wh AS (
+  SELECT doc_id,
+         transform(split(text,' '), x -> {_H_SPARK.format(x="x")} % 1000000007) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       aggregate(hs, CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+FROM wh ORDER BY doc_id
+""",
+   f"""
+WITH wh AS (
+  SELECT doc_id,
+         list_transform(string_split(text,' '), x -> {_H_DUCK.format(x="x")} % 1000000007) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_reduce(list_prepend(0, hs), (acc, x) -> (acc * 131 + x) % 1000000007) AS BIGINT) AS fingerprint
+FROM wh ORDER BY doc_id
+""")
+
+# ---- similarity search: brute-force cosine top-k (ANN baseline) ----
+_ann_spark = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+s AS (
+  SELECT qid, cid,
+         aggregate(zip_with(qv, cv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+                   CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) /
+         (sqrt(aggregate(qv, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) *
+          sqrt(aggregate(cv, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos
+  FROM q CROSS JOIN c WHERE qid <> cid
+),
+r AS (
+  SELECT qid, cid, round(cos, 4) AS cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY round(cos, 4) DESC, cid) AS rk
+  FROM s
+)
+SELECT qid AS query_id, cid AS neighbor_id, cosine, CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= 5 ORDER BY query_id, rank
+"""
+_ann_duck = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+s AS (
+  SELECT qid, cid,
+         list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE), (a, b) -> a + b) /
+         (sqrt(list_reduce(list_transform(qv, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) *
+          sqrt(list_reduce(list_transform(cv, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))) AS cos
+  FROM q CROSS JOIN c WHERE qid <> cid
+),
+r AS (
+  SELECT qid, cid, round(cos, 4) AS cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY round(cos, 4) DESC, cid) AS rk
+  FROM s
+)
+SELECT qid AS query_id, cid AS neighbor_id, cosine, CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= 5 ORDER BY query_id, rank
+"""
+_q("cosine_topk", _ann_spark, _ann_duck)
+
+# ---- TPC-H Q1-style aggregation (C1/F6 partial+final agg; integer cents) ----
+_q("q1_agg",
+   """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+   """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+
+# ---- top-k (M1 top/bottom-N labeling analog) ----
+_q("topk_customers",
+   """
+SELECT o_custkey AS custkey, count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY n_orders DESC, custkey LIMIT 10
+""",
+   """
+SELECT o_custkey AS custkey, count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY n_orders DESC, custkey LIMIT 10
+""")
+
+# ---- window dedup: first row per key (P7 exact-dup removal analog) ----
+_q("window_dedup_first_order",
+   """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
+       CAST(o_orderdate AS STRING) AS first_orderdate
+FROM r WHERE rn = 1 ORDER BY custkey
+""",
+   """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS first_orderdate
+FROM r WHERE rn = 1 ORDER BY custkey
+""")
+
+# ---- sorted-neighbourhood blocking (B4 reference semantics, window=2) ----
+_q("sorted_neighbourhood_pairs",
+   """
+WITH r AS (
+  SELECT c_custkey, row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer
+)
+SELECT a.c_custkey AS id_1, b.c_custkey AS id_2
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
+ORDER BY id_1, id_2
+""",
+   """
+WITH r AS (
+  SELECT c_custkey, row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer
+)
+SELECT a.c_custkey AS id_1, b.c_custkey AS id_2
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
+ORDER BY id_1, id_2
+""")
+
+# ---- exact percentiles (M5/R3 probability-quantile analog) ----
+_q("percentile_order_price",
+   """
+SELECT o_orderpriority AS priority,
+       round(percentile(o_totalprice, 0.25), 4) AS p25,
+       round(percentile(o_totalprice, 0.50), 4) AS p50,
+       round(percentile(o_totalprice, 0.90), 4) AS p90,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY priority
+""",
+   """
+SELECT o_orderpriority AS priority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY priority
+""")
+
+# ---- banding (R2 probability bands analog) ----
+_q("price_banding",
+   """
+SELECT CASE WHEN o_totalprice >= 200000 THEN 'high'
+            WHEN o_totalprice >= 50000 THEN 'mid'
+            ELSE 'low' END AS band,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY 1 ORDER BY band
+""",
+   """
+SELECT CASE WHEN o_totalprice >= 200000 THEN 'high'
+            WHEN o_totalprice >= 50000 THEN 'mid'
+            ELSE 'low' END AS band,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY 1 ORDER BY band
+""")
+
+# ---- set ops: union + distinct (B5 pair-set union analog) ----
+_q("union_distinct_keys",
+   """
+SELECT nationkey, count(*) AS n_sides FROM (
+  SELECT DISTINCT c_nationkey AS nationkey, 'cust' AS side FROM customer
+  UNION
+  SELECT DISTINCT s_nationkey AS nationkey, 'supp' AS side FROM supplier
+) GROUP BY nationkey ORDER BY nationkey
+""",
+   """
+SELECT nationkey, count(*) AS n_sides FROM (
+  SELECT DISTINCT c_nationkey AS nationkey, 'cust' AS side FROM customer
+  UNION
+  SELECT DISTINCT s_nationkey AS nationkey, 'supp' AS side FROM supplier
+) GROUP BY nationkey ORDER BY nationkey
+""")
+
+# ---- events: tumbling-window aggregation (streaming-shape batch twin) ----
+_q("events_hourly",
+   """
+SELECT CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 3) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type
+""",
+   """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 3) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type
+""")
+
+# ---- null/distinct stats in one agg pass (P8/F6) ----
+_q("groupagg_null_stats",
+   """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_texts
+FROM documents GROUP BY source ORDER BY source
+""",
+   """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_texts
+FROM documents GROUP BY source ORDER BY source
+""")
+
+
+# --------------------------------------------------------------------------
+# Runners
+# --------------------------------------------------------------------------
+
+def run_spark(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(PAIRED_SQL[name][0])
+
+
+def duckdb_sql(name: str) -> str:
+    return PAIRED_SQL[name][1]

@@ -73,15 +73,17 @@ def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) ->
     min-id survivor rule at openai_deduplicator.py:174-218)."""
     e = (edges.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
          .where(F.col("src") != F.col("dst"))
-         .distinct())
+         .distinct()
+         .localCheckpoint(eager=True))  # cut upstream lineage before iterating
     if e.isEmpty():
         return e.select(F.col("src").alias("clip_id"), F.col("dst").alias("component")).limit(0)
 
     prev = None
     for it in range(cfg.cc_max_iters):
-        e = _small_star(_large_star(e))
-        if (it + 1) % cfg.cc_checkpoint_every == 0:
-            e = e.localCheckpoint(eager=True)
+        # each round materializes: the loop body is 2 groupBys + 2 joins,
+        # and without truncation every checksum would re-execute the
+        # whole chain-of-rounds lineage from the original edge scan.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _checksum(e)
         if cur == prev:
             break

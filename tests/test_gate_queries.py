@@ -1,0 +1,56 @@
+"""Local twin of the driver's correctness gate: run each paired query
+on Spark and DuckDB at sf0.001 and compare row count + columns +
+order-insensitive values (NaN-safe, float-rounded the same way the
+queries themselves round)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from record_deduplication_spark.analysis import gate_queries as G
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in G.TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if isinstance(v, float):
+                row.append("nan" if math.isnan(v) else f"{v:.9g}")
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("name", sorted(G.PAIRED_SQL))
+def test_paired_query_matches_duckdb(spark, duck, name):
+    ours = G.run_spark(spark, SF_DIR, name).toPandas()
+    theirs = duck.sql(G.duckdb_sql(name)).df()
+    assert sorted(ours.columns) == sorted(theirs.columns), (
+        f"{name}: columns {list(ours.columns)} vs {list(theirs.columns)}")
+    a, b = _canon(ours), _canon(theirs)
+    assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
+    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:5]
+    assert not mism, f"{name}: first mismatches {[(a[i], b[i]) for i in mism]}"
+
+
+@pytest.mark.parametrize("name", ["minhash_lsh_pairs", "shingle_jaccard_pairs",
+                                  "substring_run_pairs", "prefix_fingerprint_dups",
+                                  "cosine_topk", "simhash_fingerprints"])
+def test_interesting_queries_nonempty(spark, name):
+    assert G.run_spark(spark, SF_DIR, name).count() > 0, f"{name} degenerate (0 rows)"
