@@ -183,6 +183,9 @@ def write_clips_parquet(out_dir: str, n_clips: int = 2000, seed: int = 42) -> tu
     clips, truth = generate_clips(n_clips=n_clips, seed=seed)
     cp = os.path.join(out_dir, "clips.parquet")
     tp = os.path.join(out_dir, "clusters_truth.parquet")
-    clips.to_parquet(cp, index=False)
+    # small row groups so Spark's parquet scan can parallelize the
+    # signature pass across cores WITHOUT a repartition shuffle of the
+    # binary payload (row-group boundaries are the split points)
+    clips.to_parquet(cp, index=False, row_group_size=128)
     truth.to_parquet(tp, index=False)
     return cp, tp

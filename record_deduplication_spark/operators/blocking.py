@@ -6,22 +6,29 @@ keys are the north rule's: exact (sha256+transcript), MinHash-LSH band
 hashes, SimHash Hamming bands over PCM fingerprints, and L-token-gram
 keys for the exact-substring stage.
 
-Skew strategy (SURVEY.md §7.3 "Hot-band skew", the 10^12-scale killer):
-a block of m members naively yields O(m^2) pairs. We generate pairs
-per block with a single scale-safe policy:
+All four block families are collapsed into ONE member table
+(clip_id, source, bkey) with bkey = xxhash64(source, key parts) —
+JVM-side, 64-bit; a cross-family hash collision only produces an extra
+candidate that verification rejects, never recall loss. Pair
+generation is then a single window + single range self-join instead of
+four of each (4x fewer shuffles).
 
-  * block size <= cfg.max_block_full_pairs: full pairwise self-join
-    (small-dim behavior, matches oracle exactly);
+Skew strategy (SURVEY.md §7.3 "Hot-band skew", the 10^12-scale killer):
+a block of m members naively yields O(m^2) pairs. Single scale-safe
+policy:
+
+  * block size <= cfg.max_block_full_pairs: full pairwise join
+    (small-dim behavior, matches the oracle's full-pairing exactly);
   * larger (hot) blocks: sort members by clip_id inside the block and
     pair each with its next `hot_block_neighbor_w` neighbors — LINEAR
     in block size. Chain connectivity keeps the block's component
     intact for connected-components clustering, so cluster-level
     recall is preserved while the pair count is bounded.
 
-Both paths are expressed as row_number window + range self-join on the
-block key, so Catalyst plans an equi-join on the key with a range
-filter; AQE handles residual partition skew. Within-block ordering by
-clip_id keeps the output deterministic.
+Both paths are a row_number window + range self-join on the block key,
+so Catalyst plans an equi-join on (source, bkey) with a range filter;
+AQE handles residual partition skew. Within-block ordering by clip_id
+keeps output deterministic.
 """
 
 from __future__ import annotations
@@ -34,80 +41,57 @@ from ..config import DedupConfig
 PAIR_COLS = ("id_1", "id_2", "source")
 
 
-def _pairs_within_blocks(members: DataFrame, key_cols: list[str],
-                         cfg: DedupConfig, source: str) -> DataFrame:
-    """members(key_cols..., clip_id) -> (id_1 < id_2, source)."""
-    w = Window.partitionBy(*key_cols).orderBy("clip_id")
+def block_members(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Union of all block families as (clip_id, source, bkey)."""
+    exact = (signed
+             .where(F.col("sha_bytes").isNotNull())
+             .select("clip_id", F.lit("exact").alias("source"),
+                     F.xxhash64(F.lit("exact"), "sha_bytes", "transcript_norm")
+                     .alias("bkey")))
+    lsh = (signed
+           .select("clip_id", F.posexplode("band_hashes").alias("band_idx", "band_hash"))
+           .select("clip_id", F.lit("lsh").alias("source"),
+                   F.xxhash64(F.lit("lsh"), "band_idx", "band_hash").alias("bkey")))
+    simhash = (signed
+               .where(F.col("pcm_fp").isNotNull())
+               .select("clip_id", F.posexplode("fp_bands").alias("fband_idx", "fband_val"))
+               .select("clip_id", F.lit("simhash").alias("source"),
+                       F.xxhash64(F.lit("simhash"), "fband_idx", "fband_val").alias("bkey")))
+    substring = (signed
+                 .select("clip_id", F.explode("lgram_hashes").alias("lgram"))
+                 .select("clip_id", F.lit("substring").alias("source"),
+                         F.xxhash64(F.lit("sub"), "lgram").alias("bkey")))
+    return exact.unionByName(lsh).unionByName(simhash).unionByName(substring)
+
+
+def pairs_within_blocks(members: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(clip_id, source, bkey) -> (id_1 < id_2, source), linear per block."""
+    w = Window.partitionBy("source", "bkey").orderBy("clip_id")
     m = (members
          .withColumn("rn", F.row_number().over(w))
-         .withColumn("bsz", F.count(F.lit(1)).over(Window.partitionBy(*key_cols))))
+         .withColumn("bsz", F.count(F.lit(1)).over(Window.partitionBy("source", "bkey"))))
+    # singleton blocks can't pair — drop them before the join (the vast
+    # majority of blocks at scale)
+    m = m.where(F.col("bsz") > 1)
 
-    a = m.alias("a")
-    b = m.alias("b")
-    on = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
-
-    small = (a.join(b, on + [F.col("a.bsz") <= cfg.max_block_full_pairs,
-                             F.col("a.rn") < F.col("b.rn")])
-             .select(F.col("a.clip_id").alias("id_1"),
-                     F.col("b.clip_id").alias("id_2")))
-    big = (a.join(b, on + [F.col("a.bsz") > cfg.max_block_full_pairs,
-                           F.col("b.rn") > F.col("a.rn"),
-                           F.col("b.rn") <= F.col("a.rn") + cfg.hot_block_neighbor_w])
-           .select(F.col("a.clip_id").alias("id_1"),
-                   F.col("b.clip_id").alias("id_2")))
-    return small.unionByName(big).withColumn("source", F.lit(source))
-
-
-def exact_candidates(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """B1-analog: exact block on (sha256(bytes), transcript_norm)."""
-    members = signed.select("sha_bytes", "transcript_norm", "clip_id")
-    return _pairs_within_blocks(members, ["sha_bytes", "transcript_norm"], cfg, "exact")
+    a, b = m.alias("a"), m.alias("b")
+    cap, nb = cfg.max_block_full_pairs, cfg.hot_block_neighbor_w
+    joined = a.join(
+        b,
+        [F.col("a.source") == F.col("b.source"),
+         F.col("a.bkey") == F.col("b.bkey"),
+         F.col("b.rn") > F.col("a.rn"),
+         # full pairing for small blocks, neighbor-w chain for hot ones
+         (F.col("a.bsz") <= cap) | (F.col("b.rn") <= F.col("a.rn") + nb)])
+    return joined.select(F.col("a.clip_id").alias("id_1"),
+                         F.col("b.clip_id").alias("id_2"),
+                         F.col("a.source").alias("source"))
 
 
-def lsh_candidates(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """B4-analog: MinHash-LSH banded blocking over transcript shingles.
-
-    posexplode(band_hashes) -> (band_idx, band_hash) block keys. Clips
-    with no shingles (empty transcript) have an empty array and drop
-    out of the explode naturally.
-    """
-    members = (signed
-               .select("clip_id", F.posexplode("band_hashes").alias("band_idx", "band_hash")))
-    return _pairs_within_blocks(members, ["band_idx", "band_hash"], cfg, "lsh")
-
-
-def simhash_candidates(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """SimHash Hamming-band blocking over PCM fingerprints.
-
-    k+1 bands of 64/(k+1) bits: pigeonhole guarantees any pair at
-    Hamming distance <= k shares a band -> recall-complete candidate
-    generation for the audio near-dup criterion.
-    """
-    members = (signed
-               .where(F.col("pcm_fp").isNotNull())
-               .select("clip_id", F.posexplode("fp_bands").alias("fband_idx", "fband_val")))
-    return _pairs_within_blocks(members, ["fband_idx", "fband_val"], cfg, "simhash")
-
-
-def substring_candidates(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Exact-substring blocking: clips sharing any L-token-gram hash.
-
-    Per-doc gram sets are already deduplicated in the signature UDF
-    (the per-partition suffix-array dedup path at scale); suffix-array
-    verification of the shared-run length happens in verify.py.
-    """
-    members = (signed
-               .select("clip_id", F.explode("lgram_hashes").alias("lgram")))
-    return _pairs_within_blocks(members, ["lgram"], cfg, "substring")
-
-
-def union_candidates(*cands: DataFrame) -> DataFrame:
-    """B5-analog: union + per-pair source set (dropDuplicates on the
-    canonical (id_1, id_2) ordering each generator already guarantees)."""
-    out = cands[0]
-    for c in cands[1:]:
-        out = out.unionByName(c)
-    return (out
+def generate_candidates(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """B1-B5 in one pass: members -> pairs -> per-pair source set."""
+    pairs = pairs_within_blocks(block_members(signed, cfg), cfg)
+    return (pairs
             .groupBy("id_1", "id_2")
             .agg(F.collect_set("source").alias("sources")))
 

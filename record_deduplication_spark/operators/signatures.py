@@ -1,21 +1,28 @@
 """Signature stage: normalize + MinHash bands + SimHash PCM fingerprint.
 
-All Python work is vectorized Arrow `pandas_udf`s over the shared
-kernels in ``functions/`` (north rule: no per-row Python; the
-reference's per-row ``df.apply`` pattern at
-/root/reference/src/core/preprocess_engine.py:155,177-179 is exactly
-what this replaces). Everything else is JVM-side built-ins
-(`sha2`, `size`, `length`).
+ONE fused `mapInPandas` pass computes every derived column per clip:
+normalize once, tokenize once, decode the audio payload once. (The
+first cut chained four pandas_udfs; Catalyst's projection collapse
+re-evaluated the normalize UDF once per dependent column — the exact
+per-row-Python trap the north rule bans, just at batch granularity.
+Reference analog of the fused pass: the preprocess stage computes all
+`*_clean` columns in one sweep, /root/reference/src/core/preprocess_engine.py:120-232.)
 
 Scale notes (10^12 clips):
-- `bytes` is consumed HERE (fingerprint + sha) and then dropped; the
+- the input is explicitly repartitioned to the session's default
+  parallelism before the scan-heavy UDF pass, so one skewed/small
+  input file can't serialize the stage;
+- `bytes` is consumed HERE (fingerprint + sha256) and dropped; the
   binary payload never crosses a shuffle (SURVEY.md §7.3). Final PCM
-  verification re-joins bytes only for surviving candidate pairs.
-- band hashes are computed inside the UDF (signature never
-  materialized as a column) to keep shuffle width small.
+  verification re-joins bytes for surviving candidate pairs only;
+- band hashes are computed inside the pass (the MinHash signature is
+  never materialized as a column) to keep shuffle width small.
 """
 
 from __future__ import annotations
+
+import hashlib
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -27,106 +34,101 @@ from ..functions import audio as A
 from ..functions import hashing as H
 from ..functions import text as X
 
+SIGNED_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("sr_hz", T.IntegerType()),
+    T.StructField("dur_ms", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("transcript", T.StringType()),
+    T.StructField("transcript_norm", T.StringType()),
+    T.StructField("n_tokens", T.IntegerType()),
+    T.StructField("sha_bytes", T.StringType()),
+    T.StructField("pcm_fp", T.LongType()),
+    T.StructField("band_hashes", T.ArrayType(T.LongType())),
+    T.StructField("fp_bands", T.ArrayType(T.LongType())),
+    T.StructField("lgram_hashes", T.ArrayType(T.LongType())),
+])
 
-def normalize_udf():
-    @F.pandas_udf(T.StringType())
-    def _norm(s: pd.Series) -> pd.Series:
-        return X.normalize_series(s)
-    return _norm
 
+def _sign_batch(pdf: pd.DataFrame, cfg: DedupConfig,
+                a_coef, b_coef) -> pd.DataFrame:
+    n_fp_bands = cfg.simhash_hamming_k + 1
+    norms, ntoks, shas, fps, bands_l, fpb_l, lgr_l = [], [], [], [], [], [], []
+    norm_cache: dict[str, str] = {}
+    for raw_txt, data in zip(pdf["transcript"], pdf["bytes"]):
+        key = raw_txt or ""
+        norm = norm_cache.get(key)
+        if norm is None:
+            norm = X.normalize_text(key)
+            norm_cache[key] = norm
+        toks = X.tokenize(norm)
+        norms.append(norm)
+        ntoks.append(len(toks))
 
-def band_hashes_udf(cfg: DedupConfig):
-    """transcript_norm -> ARRAY<LONG> of LSH band keys (empty if no shingles)."""
-    num_perm, bands, k, seed = cfg.num_perm, cfg.lsh_bands, cfg.shingle_k, cfg.minhash_seed
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _bands(s: pd.Series) -> pd.Series:
-        a_coef, b_coef = H.minhash_params(num_perm, seed)
-        out = []
-        for txt in s:
-            sh = X.shingles(X.tokenize(txt or ""), k)
-            if not sh:
-                out.append([])
-                continue
+        sh = X.shingles(toks, cfg.shingle_k)
+        if sh:
             sig = H.minhash_signature(H.hash_strs_u64(sh), a_coef, b_coef)
-            out.append([int(v) for v in H.band_hashes(sig, bands)])
-        return pd.Series(out)
-    return _bands
+            bands_l.append([int(v) for v in H.band_hashes(sig, cfg.lsh_bands)])
+        else:
+            bands_l.append([])
+
+        lg = []
+        seen: set[int] = set()
+        for g in X.grams(toks, cfg.substring_min_tokens):
+            h = H.hash_str_u64(g)
+            if h >= 1 << 63:
+                h -= 1 << 64
+            if h not in seen:
+                seen.add(h)
+                lg.append(h)
+        lgr_l.append(lg)
+
+        if data is None:
+            shas.append(None)
+            fps.append(None)
+            fpb_l.append(None)
+            continue
+        b = bytes(data)
+        shas.append(hashlib.sha256(b).hexdigest())
+        try:
+            pcm, _ = A.decode_wav(b)
+            fp = A.pcm_fingerprint(pcm, cfg.fp_frames)
+            fps.append(fp)
+            fpb_l.append(H.simhash_bands(fp, n_fp_bands))
+        except Exception:
+            fps.append(None)
+            fpb_l.append(None)
+
+    return pd.DataFrame({
+        "clip_id": pdf["clip_id"],
+        "sr_hz": pdf["sr_hz"],
+        "dur_ms": pdf["dur_ms"],
+        "codec": pdf["codec"],
+        "transcript": pdf["transcript"],
+        "transcript_norm": norms,
+        "n_tokens": pd.array(ntoks, dtype="int32"),
+        "sha_bytes": shas,
+        "pcm_fp": pd.array(fps, dtype="Int64"),
+        "band_hashes": bands_l,
+        "fp_bands": fpb_l,
+        "lgram_hashes": lgr_l,
+    })
 
 
-def lgram_hashes_udf(cfg: DedupConfig):
-    """transcript_norm -> ARRAY<LONG> distinct L-token-gram hashes
-    (the exact-substring stage's blocking keys; suffix-array
-    verification runs later on candidate pairs)."""
-    L = cfg.substring_min_tokens
+def add_signatures(clips: DataFrame, cfg: DedupConfig,
+                   n_partitions: int | None = None) -> DataFrame:
+    """clips -> signed table (one Arrow pass; drops `bytes`)."""
+    spark = clips.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _grams(s: pd.Series) -> pd.Series:
-        out = []
-        for txt in s:
-            gs = X.grams(X.tokenize(txt or ""), L)
-            seen: dict[int, None] = {}
-            for g in gs:
-                h = H.hash_str_u64(g)
-                if h >= 1 << 63:
-                    h -= 1 << 64
-                seen.setdefault(h)
-            out.append(list(seen.keys()))
-        return pd.Series(out)
-    return _grams
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a_coef, b_coef = H.minhash_params(cfg.num_perm, cfg.minhash_seed)
+        for pdf in batches:
+            yield _sign_batch(pdf, cfg, a_coef, b_coef)
 
-
-def pcm_fingerprint_udf(cfg: DedupConfig):
-    """bytes -> 64-bit SimHash-style PCM fingerprint (LONG, null if undecodable)."""
-    n_frames = cfg.fp_frames
-
-    @F.pandas_udf(T.LongType())
-    def _fp(b: pd.Series) -> pd.Series:
-        out = []
-        for data in b:
-            if data is None:
-                out.append(None)
-                continue
-            try:
-                pcm, _ = A.decode_wav(bytes(data))
-                out.append(A.pcm_fingerprint(pcm, n_frames))
-            except Exception:
-                out.append(None)
-        return pd.Series(out, dtype="object")
-    return _fp
-
-
-def simhash_bands_udf(cfg: DedupConfig):
-    """fingerprint LONG -> ARRAY<LONG> of k+1 Hamming band values."""
-    n_bands = cfg.simhash_hamming_k + 1
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _sb(fp: pd.Series) -> pd.Series:
-        return pd.Series(
-            [None if v is None or pd.isna(v) else H.simhash_bands(int(v), n_bands)
-             for v in fp], dtype="object")
-    return _sb
-
-
-def add_signatures(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """clips -> normalized/signed table. Drops `bytes` (never shuffled).
-
-    Output: clip_id, sr_hz, dur_ms, codec, transcript, transcript_norm,
-            n_tokens, sha_bytes, pcm_fp, band_hashes, fp_bands, lgram_hashes
-    """
-    normed = (
-        clips
-        .withColumn("transcript_norm", normalize_udf()(F.col("transcript")))
-        .withColumn("n_tokens",
-                    F.when(F.col("transcript_norm") == "", F.lit(0))
-                     .otherwise(F.size(F.split(F.col("transcript_norm"), " "))))
-        .withColumn("sha_bytes", F.sha2(F.col("bytes"), 256))
-        .withColumn("pcm_fp", pcm_fingerprint_udf(cfg)(F.col("bytes")))
-    )
-    return (
-        normed
-        .withColumn("band_hashes", band_hashes_udf(cfg)(F.col("transcript_norm")))
-        .withColumn("fp_bands", simhash_bands_udf(cfg)(F.col("pcm_fp")))
-        .withColumn("lgram_hashes", lgram_hashes_udf(cfg)(F.col("transcript_norm")))
-        .drop("bytes")
-    )
+    # only shuffle the binary payload if the scan itself is too coarse
+    # to keep the cores busy (small row groups / many files avoid this)
+    src = clips
+    if clips.rdd.getNumPartitions() < max(2, n // 2):
+        src = clips.repartition(n)
+    return src.mapInPandas(_run, schema=SIGNED_SCHEMA)

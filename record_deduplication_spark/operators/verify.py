@@ -15,6 +15,13 @@ Criteria here are the north rule's:
 All Python verification is vectorized `pandas_udf` (text) or
 `mapInPandas` (audio — batch-iterates the re-joined binary payloads of
 the few surviving candidates; bytes never enter a groupBy/window).
+
+Plan shape: the expensive suffix-array UDF runs only on the row subset
+that still needs it (cheap criteria first, then filter+union — NOT a
+`when` branch, which would evaluate the UDF over every row of the
+batch). Pair tables are explicitly repartitioned before UDF stages so
+AQE's small-data coalescing can't serialize Python evaluation onto one
+core.
 """
 
 from __future__ import annotations
@@ -28,7 +35,6 @@ from pyspark.sql import types as T
 
 from ..config import DedupConfig
 from ..functions import audio as A
-from ..functions import hashing as H
 from ..functions import text as X
 from ..functions.suffix_array import longest_common_run
 
@@ -63,11 +69,10 @@ def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFr
     """Verify exact/text/substring criteria.
 
     Joins the (small relative to clips) candidate set with per-clip
-    normalized transcripts twice — broadcast is wrong here at scale
-    (signed is the big side), so these are shuffle hash/sort-merge
-    joins on clip_id; only the columns needed are carried (column
-    pruning reaches the parquet scan).
-    """
+    context twice — shuffle equi-joins on clip_id; only pruned columns
+    are carried."""
+    spark = cands.sparkSession
+    n = spark.sparkContext.defaultParallelism
     ctx = signed.select("clip_id", "transcript_norm", "sha_bytes", "pcm_fp")
     p = (cands
          .join(ctx.select(F.col("clip_id").alias("id_1"),
@@ -77,31 +82,44 @@ def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFr
          .join(ctx.select(F.col("clip_id").alias("id_2"),
                           F.col("transcript_norm").alias("norm_2"),
                           F.col("sha_bytes").alias("sha_2"),
-                          F.col("pcm_fp").alias("fp_2")), "id_2"))
+                          F.col("pcm_fp").alias("fp_2")), "id_2")
+         .repartition(n))
 
     has = lambda s: F.array_contains(F.col("sources"), s)  # noqa: E731
     textish = has("lsh") | has("substring")
+    exact_ok = (F.col("sha_1") == F.col("sha_2")) & (F.col("norm_1") == F.col("norm_2"))
 
     p = p.withColumn(
         "jaccard",
         F.when(textish & (F.col("norm_1") != "") & (F.col("norm_2") != ""),
                jaccard_udf(cfg)(F.col("norm_1"), F.col("norm_2"))))
-    p = p.withColumn(
-        "common_run",
-        F.when(has("substring"),
-               common_run_udf(cfg)(F.col("norm_1"), F.col("norm_2"))))
+    # materialize after the Jaccard UDF: the decided/rest branches below
+    # would otherwise each re-run it over the full candidate set
+    p = p.localCheckpoint(eager=True)
 
-    exact_ok = (F.col("sha_1") == F.col("sha_2")) & (F.col("norm_1") == F.col("norm_2"))
-    text_ok = F.col("jaccard") >= F.lit(cfg.jaccard_threshold)
-    substr_ok = F.col("common_run") >= F.lit(cfg.substring_min_tokens)
+    decided = p.where(
+        exact_ok | (F.col("jaccard") >= cfg.jaccard_threshold)
+    ).withColumn(
+        "verdict",
+        F.when(exact_ok, F.lit("exact")).otherwise(F.lit("text"))
+    ).withColumn("common_run", F.lit(None).cast("int"))
 
-    return (p.withColumn(
-                "verdict",
-                F.when(exact_ok, F.lit("exact"))
-                 .when(text_ok, F.lit("text"))
-                 .when(substr_ok, F.lit("substring")))
-             .withColumn("score", F.coalesce(F.col("jaccard"),
-                                             F.when(F.col("verdict").isNotNull(), F.lit(1.0)))))
+    rest = p.where(~(exact_ok | F.coalesce(F.col("jaccard") >= cfg.jaccard_threshold,
+                                           F.lit(False))))
+    # suffix-array verification only where an L-gram collision suggested it
+    needs_run = rest.where(has("substring"))
+    no_run = rest.where(~has("substring")).withColumn("common_run", F.lit(None).cast("int"))
+    ran = needs_run.withColumn(
+        "common_run", common_run_udf(cfg)(F.col("norm_1"), F.col("norm_2")))
+    undecided = (ran.unionByName(no_run)
+                 .withColumn("verdict",
+                             F.when(F.col("common_run") >= cfg.substring_min_tokens,
+                                    F.lit("substring"))))
+
+    out = decided.unionByName(undecided)
+    return out.withColumn(
+        "score", F.coalesce(F.col("jaccard"),
+                            F.when(F.col("verdict").isNotNull(), F.lit(1.0))))
 
 
 def verify_audio(pending: DataFrame, clips: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -115,7 +133,7 @@ def verify_audio(pending: DataFrame, clips: DataFrame, cfg: DedupConfig) -> Data
            .where(F.array_contains(F.col("sources"), "simhash"))
            .where(F.col("norm_1") == F.col("norm_2"))
            .where(F.col("fp_1").isNotNull() & F.col("fp_2").isNotNull())
-           # Hamming via JVM-side bit ops: popcount(xor) with bit_count
+           # Hamming via JVM-side bit ops: popcount(xor)
            .where(F.bit_count(F.col("fp_1").bitwiseXOR(F.col("fp_2")))
                   <= F.lit(cfg.simhash_hamming_k))
            .select("id_1", "id_2"))
@@ -123,7 +141,8 @@ def verify_audio(pending: DataFrame, clips: DataFrame, cfg: DedupConfig) -> Data
     payload = clips.select("clip_id", "bytes")
     j = (pre
          .join(payload.select(F.col("clip_id").alias("id_1"), F.col("bytes").alias("bytes_1")), "id_1")
-         .join(payload.select(F.col("clip_id").alias("id_2"), F.col("bytes").alias("bytes_2")), "id_2"))
+         .join(payload.select(F.col("clip_id").alias("id_2"), F.col("bytes").alias("bytes_2")), "id_2")
+         .repartition(pending.sparkSession.sparkContext.defaultParallelism))
 
     snr_min = cfg.snr_db_min
 
@@ -154,7 +173,9 @@ def verify_audio(pending: DataFrame, clips: DataFrame, cfg: DedupConfig) -> Data
 def build_edges(cands: DataFrame, signed: DataFrame, clips: DataFrame,
                 cfg: DedupConfig) -> DataFrame:
     """Full verification -> dup-edge list (id_1, id_2, verdict, score)."""
-    v = verify_text(cands, signed, cfg)
+    # materialize once: three consumers below would otherwise re-run the
+    # suffix-array UDF chain per branch
+    v = verify_text(cands, signed, cfg).localCheckpoint(eager=True)
     confirmed = v.where(F.col("verdict").isNotNull())
     pending = v.where(F.col("verdict").isNull())
     audio = (verify_audio(pending, clips, cfg)

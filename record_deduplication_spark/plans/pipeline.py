@@ -69,11 +69,7 @@ class DedupPipeline:
 
         cands = self._stage(
             "candidates", run_id, resume,
-            lambda: B.union_candidates(
-                B.exact_candidates(signed, cfg),
-                B.lsh_candidates(signed, cfg),
-                B.simhash_candidates(signed, cfg),
-                B.substring_candidates(signed, cfg)))
+            lambda: B.generate_candidates(signed, cfg))
 
         edges = self._stage(
             "edges", run_id, resume,

@@ -30,7 +30,12 @@ def build_session(app: str = "record_dedup_spark", master: str | None = None,
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
          .config("spark.ui.enabled", "false")
-         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048"))
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+         # split parquet scans finer than the 128m default: the
+         # signature pass is CPU-bound per byte, so scan-parallelism is
+         # worth more than fewer tasks (at 100 TB there are plenty of
+         # files; locally this splits single-file corpora by row group)
+         .config("spark.sql.files.maxPartitionBytes", "16m"))
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
