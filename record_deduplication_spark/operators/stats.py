@@ -1,0 +1,111 @@
+"""Cluster statistics, score banding, and merge finalization.
+
+Reference analogs:
+- C14 cluster stats (/root/reference/src/core/clustering/cluster_stats.py:18-175)
+- R2 probability banding (/root/reference/src/core/reporting_engine.py:104-117)
+- G2 group materialization / survivor choice
+  (/root/reference/src/core/openai_deduplicator.py:174-218)
+- C6 max-cluster-size subdivision (driver loop over Spark jobs,
+  /root/reference/src/core/clustering/hierarchical/adaptive_clusterer_v3.py:31-112)
+
+All single-pass aggregations (partial+final hash agg) — silhouette is
+intentionally dropped (O(n^2), geometric; SURVEY §2.6 C14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cluster_stats(clusters: DataFrame) -> dict:
+    """n_clusters, noise count/ratio, size histogram + percentiles."""
+    n_total = clusters.count()
+    sizes = (clusters.where(F.col("cluster_id") >= 0)
+             .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size")))
+    agg = sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("size").alias("clustered"),
+        F.max("size").alias("max_size"),
+        F.expr("percentile(size, array(0.25, 0.5, 0.75, 0.95))").alias("pcts"),
+        F.sum(F.when(F.col("size") <= 3, 1).otherwise(0)).alias("tiny"),
+        F.sum(F.when((F.col("size") > 3) & (F.col("size") <= 10), 1).otherwise(0)).alias("small"),
+        F.sum(F.when((F.col("size") > 10) & (F.col("size") <= 100), 1).otherwise(0)).alias("medium"),
+        F.sum(F.when(F.col("size") > 100, 1).otherwise(0)).alias("large"),
+    ).collect()[0]
+    clustered = int(agg["clustered"] or 0)
+    return {
+        "n_records": n_total,
+        "n_clusters": int(agg["n_clusters"] or 0),
+        "n_noise": n_total - clustered,
+        "noise_ratio": (n_total - clustered) / n_total if n_total else 0.0,
+        "coverage_ratio": clustered / n_total if n_total else 0.0,
+        "max_cluster_size": int(agg["max_size"] or 0),
+        "size_percentiles": [float(x) for x in (agg["pcts"] or [])],
+        "size_histogram": {k: int(agg[k] or 0)
+                           for k in ("tiny", "small", "medium", "large")},
+    }
+
+
+def score_bands(edges: DataFrame,
+                high: float = 0.9, low: float = 0.6) -> DataFrame:
+    """R2-analog: band verified edges by score; per-band counts."""
+    banded = edges.withColumn(
+        "band",
+        F.when(F.col("score") >= high, "high")
+         .when(F.col("score") >= low, "manual_review")
+         .otherwise("low"))
+    return (banded.groupBy("verdict", "band")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("verdict", "band"))
+
+
+def materialize_groups(clusters: DataFrame) -> DataFrame:
+    """G2-analog: per-cluster member list + canonical survivor
+    (min clip_id — the reference's min-id root rule)."""
+    return (clusters.where(F.col("cluster_id") >= 0)
+            .groupBy("cluster_id")
+            .agg(F.sort_array(F.collect_list("clip_id")).alias("members"),
+                 F.min("clip_id").alias("survivor"),
+                 F.count(F.lit(1)).alias("size")))
+
+
+def unique_records(all_ids: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Dedup finalization: keep noise rows + one survivor per cluster,
+    with is_merged / merged_from lineage columns (G2)."""
+    groups = materialize_groups(clusters)
+    survivors = groups.select(F.col("survivor").alias("clip_id"),
+                              F.lit(True).alias("is_merged"),
+                              F.array_remove("members", F.col("survivor")
+                                             .cast("string")).alias("merged_from"))
+    noise = (clusters.where(F.col("cluster_id") == -1)
+             .select("clip_id", F.lit(False).alias("is_merged"),
+                     F.array().cast("array<string>").alias("merged_from")))
+    return noise.unionByName(survivors)
+
+
+def subdivide_oversized(clusters: DataFrame, max_size: int,
+                        salt_buckets: int | None = None) -> DataFrame:
+    """C6/C10-analog guaranteed-progress control of max cluster size:
+    deterministic hash-bucket split of oversized clusters (the
+    reference's ForceStrategy last resort, SURVEY §2.6 C10). Returns a
+    new assignment with suffix-bucketed cluster ids.
+
+    This is a driver-free single pass (no loop needed: hash split is
+    guaranteed to bound sizes in one application with
+    salt_buckets >= ceil(size/max_size))."""
+    sizes = (clusters.where(F.col("cluster_id") >= 0)
+             .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size")))
+    joined = clusters.join(sizes, "cluster_id", "left")
+    k = salt_buckets
+    bucket = F.when(
+        F.col("size") > max_size,
+        F.pmod(F.xxhash64("clip_id"),
+               F.lit(k) if k else F.ceil(F.col("size") / max_size).cast("long")))
+    return joined.select(
+        "clip_id",
+        F.when(F.col("cluster_id") < 0, F.col("cluster_id").cast("string"))
+         .when(bucket.isNotNull(),
+               F.concat_ws("_", F.col("cluster_id"), bucket))
+         .otherwise(F.col("cluster_id").cast("string"))
+         .alias("cluster_key"))

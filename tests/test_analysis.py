@@ -1,0 +1,114 @@
+"""Tests for text analysis, ANN, multimodal plumbing, cluster stats."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from record_deduplication_spark.analysis.ann import brute_force_topk, lsh_topk
+from record_deduplication_spark.analysis.multimodal import (
+    decode_codec, extract_audio_features, payload_stats)
+from record_deduplication_spark.analysis.textstats import (
+    add_text_stats, rolling_fingerprint)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_text_stats(docs):
+    out = add_text_stats(docs).limit(50).toPandas()
+    assert (out["n_tokens_ws"] > 0).all()
+    assert (out["n_tokens_bpe"] >= out["n_tokens_ws"]).all()  # punct splits add tokens
+    assert out["punct_ratio"].between(0, 1).all()
+    assert out["stopword_ratio"].between(0, 1).all()
+    assert out["quality_score"].between(0, 1).all()
+    assert out["lang_guess"].notna().all()
+
+
+def test_rolling_fingerprint_deterministic(docs):
+    a = rolling_fingerprint(docs).select("doc_id", "fingerprint").toPandas()
+    b = rolling_fingerprint(docs).select("doc_id", "fingerprint").toPandas()
+    assert a.equals(b)
+    assert (a["fingerprint"] >= 0).all() and (a["fingerprint"] < 1000000007).all()
+
+
+def test_brute_force_topk(emb):
+    q = emb.where(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, q, k=4).toPandas()
+    assert set(out["query_id"]) == {0, 1, 2}
+    assert out.groupby("query_id")["rank"].max().eq(4).all()
+    assert out["cosine"].between(-1.000001, 1.000001).all()
+    # no self matches
+    assert (out["query_id"] != out["neighbor_id"]).all()
+
+
+def test_lsh_topk_recall_vs_exact(emb):
+    q = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=3).toPandas()
+    approx = lsh_topk(emb, q, k=3, n_planes=4, n_tables=16).toPandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"LSH ANN recall {recall}"  # probe-limited, tunable
+
+
+def test_multimodal_real_wav(spark, tmpdir_session):
+    from record_deduplication_spark.datagen import write_clips_parquet
+    d = os.path.join(tmpdir_session, "mm")
+    cp, _ = write_clips_parquet(d, n_clips=40, seed=3)
+    clips = spark.read.parquet(cp)
+    feats = extract_audio_features(clips.withColumn("codec", F.lit("pcm_s16le")))
+    pdf = feats.toPandas()
+    assert (pdf["decoded_real"]).all()
+    assert (pdf["n_samples"] > 0).all()
+    assert pdf["frames"].map(len).eq(16).all()
+
+
+def test_multimodal_stubbed_codec(spark, tmpdir_session):
+    from record_deduplication_spark.datagen import write_clips_parquet
+    d = os.path.join(tmpdir_session, "mm2")
+    cp, _ = write_clips_parquet(d, n_clips=20, seed=4)
+    clips = spark.read.parquet(cp).withColumn("codec", F.lit("mp3"))
+    pdf = extract_audio_features(clips, allow_fake=True).toPandas()
+    assert (~pdf["decoded_real"]).all()  # stub path, clearly flagged
+    with pytest.raises(NotImplementedError):
+        decode_codec("mp3", b"xxx")
+    stats = payload_stats(clips).toPandas()
+    assert stats["n_clips"].sum() == 20
+
+
+def test_cluster_stats_ops(spark):
+    from record_deduplication_spark.operators.stats import (
+        cluster_stats, materialize_groups, score_bands, subdivide_oversized,
+        unique_records)
+    cl = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0), ("d", 1), ("e", 1), ("f", -1), ("g", -1)],
+        "clip_id string, cluster_id long")
+    st = cluster_stats(cl)
+    assert st["n_clusters"] == 2 and st["n_noise"] == 2
+    assert st["max_cluster_size"] == 3
+    g = materialize_groups(cl).orderBy("cluster_id").toPandas()
+    assert g["survivor"].tolist() == ["a", "d"]
+    u = unique_records(cl, cl).toPandas()
+    assert set(u[u.is_merged]["clip_id"]) == {"a", "d"}
+    assert set(u[~u.is_merged]["clip_id"]) == {"f", "g"}
+
+    edges = spark.createDataFrame(
+        [("a", "b", "text", 0.95), ("a", "c", "text", 0.7), ("d", "e", "audio", 35.0)],
+        "id_1 string, id_2 string, verdict string, score double")
+    b = score_bands(edges).toPandas()
+    assert b["n_pairs"].sum() == 3
+
+    sub = subdivide_oversized(cl, max_size=2).toPandas()
+    c0 = sub[sub.cluster_key.str.startswith("0_")]
+    assert len(c0) == 3 and c0["cluster_key"].nunique() >= 2  # split happened
+    assert set(sub[sub.cluster_key == "-1"]["clip_id"]) == {"f", "g"}
