@@ -39,6 +39,13 @@ class DedupConfig:
                                        # (reference: /root/reference/src/core/clustering_engine.py:527-529)
     cc_checkpoint_every: int = 3       # truncate CC lineage every N iterations
     cc_max_iters: int = 50
+    # below this edge count, connected components runs as a single
+    # driver-side path-compressed union-find (one collect, one job —
+    # the reference's G1); above it, the distributed alternating-star
+    # algorithm takes over. 10M string edges ~ a few hundred MB on the
+    # driver — safe; a 10^12-clip corpus crosses the threshold and uses
+    # the O(log^2 n) star rounds.
+    cc_driver_max_edges: int = 10_000_000
 
     @property
     def lsh_rows(self) -> int:

@@ -64,7 +64,8 @@ def block_members(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
     return exact.unionByName(lsh).unionByName(simhash).unionByName(substring)
 
 
-def pairs_within_blocks(members: DataFrame, cfg: DedupConfig) -> DataFrame:
+def pairs_within_blocks(members: DataFrame, cfg: DedupConfig,
+                        materialize: bool = True) -> DataFrame:
     """(clip_id, source, bkey) -> (id_1 < id_2, source), linear per block."""
     w = Window.partitionBy("source", "bkey").orderBy("clip_id")
     m = (members
@@ -73,6 +74,11 @@ def pairs_within_blocks(members: DataFrame, cfg: DedupConfig) -> DataFrame:
     # singleton blocks can't pair — drop them before the join (the vast
     # majority of blocks at scale)
     m = m.where(F.col("bsz") > 1)
+    if materialize:
+        # a self-join physically evaluates its child once PER SIDE; the
+        # windowed member table is expensive (signature explode + sort),
+        # so pin it before aliasing (on a cluster: persist/checkpoint)
+        m = m.localCheckpoint(eager=True)
 
     a, b = m.alias("a"), m.alias("b")
     cap, nb = cfg.max_block_full_pairs, cfg.hot_block_neighbor_w

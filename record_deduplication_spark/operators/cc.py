@@ -66,6 +66,37 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Small-graph fast path: ONE collect + path-compressed union-find
+    on the driver (literally the reference's G1 algorithm,
+    /root/reference/src/core/openai_deduplicator.py:126-172 semantics).
+    Crossing cfg.cc_driver_max_edges routes to the distributed star
+    algorithm instead."""
+    spark = e.sparkSession
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for src, dst in e.toLocalIterator():
+        if src not in parent:
+            parent[src] = src
+        if dst not in parent:
+            parent[dst] = dst
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(rows, "clip_id string, component string")
+
+
 def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
     """edges(id_1, id_2) -> (clip_id, component) for every vertex that
     appears in an edge; component = lexicographic min clip_id of the
@@ -75,8 +106,11 @@ def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) ->
          .where(F.col("src") != F.col("dst"))
          .distinct()
          .localCheckpoint(eager=True))  # cut upstream lineage before iterating
-    if e.isEmpty():
+    n_edges = e.count()
+    if n_edges == 0:
         return e.select(F.col("src").alias("clip_id"), F.col("dst").alias("component")).limit(0)
+    if n_edges <= cfg.cc_driver_max_edges:
+        return _driver_union_find(e)
 
     prev = None
     for it in range(cfg.cc_max_iters):

@@ -52,39 +52,38 @@ class DedupPipeline:
         self.cfg = cfg
         self.store = CheckpointStore(spark, workdir)
 
-    def _stage(self, name: str, run_id: int, resume: bool, build) -> DataFrame:
+    def _stage(self, name: str, run_id: int, resume: bool, build) -> tuple[DataFrame, int]:
         if resume and self.store.exists(name):
-            return self.store.read(name)
+            df = self.store.read(name)
+            return df, df.count()
         t0 = time.time()
         df = self.store.write(name, build())
-        self.store.log(run_id, name, t0, df.count(), df.rdd.getNumPartitions())
-        return df
+        rows = df.count()
+        self.store.log(run_id, name, t0, rows, df.rdd.getNumPartitions())
+        return df, rows
 
     def run(self, clips: DataFrame, resume: bool = True) -> PipelineResult:
         cfg = self.cfg
         run_id = self.store.next_run_id()
 
-        signed = self._stage("signed", run_id, resume,
-                             lambda: add_signatures(clips, cfg))
+        signed, n_clips = self._stage("signed", run_id, resume,
+                                      lambda: add_signatures(clips, cfg))
 
-        cands = self._stage(
+        cands, n_cands = self._stage(
             "candidates", run_id, resume,
             lambda: B.generate_candidates(signed, cfg))
 
-        edges = self._stage(
+        edges, n_edges = self._stage(
             "edges", run_id, resume,
             lambda: build_edges(cands, signed, clips, cfg))
 
-        clusters = self._stage(
+        clusters, _ = self._stage(
             "clusters", run_id, resume,
             lambda: assign_clusters(
                 signed.select("clip_id"),
                 connected_components(edges.select("id_1", "id_2"), cfg),
                 cfg))
 
-        n_clips = signed.count()
-        n_cands = cands.count()
-        n_edges = edges.count()
         stats = {
             "n_clips": n_clips,
             "n_candidates": n_cands,

@@ -1,0 +1,52 @@
+"""Connected components: driver fast path vs distributed star rounds
+must agree (and both match known components)."""
+
+from dataclasses import replace
+
+import pytest
+
+from record_deduplication_spark.config import DEFAULT_CONFIG
+from record_deduplication_spark.operators.cc import assign_clusters, connected_components
+
+EDGES = [
+    ("a", "b"), ("b", "c"),                    # chain -> {a,b,c}
+    ("d", "e"),                                # pair
+    ("f", "g"), ("g", "h"), ("f", "h"),        # triangle
+    ("p1", "p2"), ("p2", "p3"), ("p3", "p4"),
+    ("p4", "p5"), ("p5", "p6"),                # long path (diameter test)
+]
+EXPECTED = {
+    frozenset("abc"), frozenset("de"), frozenset("fgh"),
+    frozenset(["p1", "p2", "p3", "p4", "p5", "p6"]),
+}
+
+
+def _components(df) -> set[frozenset]:
+    rows = df.toPandas()
+    return set(map(frozenset,
+                   rows.groupby("component")["clip_id"].apply(list).tolist()))
+
+
+@pytest.mark.parametrize("driver_max", [10_000_000, 0])
+def test_cc_both_paths(spark, driver_max):
+    cfg = replace(DEFAULT_CONFIG, cc_driver_max_edges=driver_max)
+    edges = spark.createDataFrame(EDGES, "id_1 string, id_2 string")
+    comps = connected_components(edges, cfg)
+    assert _components(comps) == EXPECTED
+    # canonical representative = min member
+    pdf = comps.toPandas()
+    for comp, grp in pdf.groupby("component"):
+        assert comp == min(grp["clip_id"].tolist() + [comp])
+
+
+def test_cc_empty(spark):
+    edges = spark.createDataFrame([], "id_1 string, id_2 string")
+    assert connected_components(edges, DEFAULT_CONFIG).count() == 0
+
+
+def test_assign_clusters_noise(spark):
+    edges = spark.createDataFrame([("a", "b")], "id_1 string, id_2 string")
+    ids = spark.createDataFrame([("a",), ("b",), ("z",)], "clip_id string")
+    out = assign_clusters(ids, connected_components(edges, DEFAULT_CONFIG)).toPandas()
+    got = dict(zip(out["clip_id"], out["cluster_id"]))
+    assert got["z"] == -1 and got["a"] == got["b"] == 0

@@ -1,0 +1,104 @@
+"""Physical-plan quality gates.
+
+Catalyst gives predicate pushdown / column pruning / broadcast for
+free ONLY if the dataflow is expressed declaratively — these tests pin
+that property so a refactor can't silently regress the 100 TB plan
+(scan that reads all columns for a 2-column projection is wrong, etc.).
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from record_deduplication_spark.analysis.ann import brute_force_topk
+from record_deduplication_spark.config import DEFAULT_CONFIG
+from record_deduplication_spark.operators.blocking import (
+    block_members, generate_candidates)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .where(F.col("l_quantity") > 45)
+          .select("l_orderkey", "l_quantity"))
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = (spark.read.parquet(f"{SF}/documents.parquet")
+          .select("doc_id", "lang"))
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {"doc_id", "lang"}
+
+
+def test_signature_stage_never_shuffles_bytes(spark, tmpdir_session):
+    """The binary payload must be consumed at the scan: no Exchange may
+    appear below the signature mapInPandas when the scan is already
+    parallel."""
+    import os
+    from record_deduplication_spark.datagen import write_clips_parquet
+    from record_deduplication_spark.operators.signatures import add_signatures
+    d = os.path.join(tmpdir_session, "planclips")
+    cp, _ = write_clips_parquet(d, n_clips=300, seed=5)
+    clips = spark.read.parquet(cp)
+    signed = add_signatures(clips, DEFAULT_CONFIG)
+    plan = _plan(signed)
+    pos_udf = plan.find("MapInPandas")
+    pos_ex = plan.find("Exchange")
+    assert pos_udf != -1
+    # either no exchange at all, or only above the UDF (plan prints top-down:
+    # parents first), i.e. exchange index < udf index means exchange is a parent
+    assert pos_ex == -1 or pos_ex < pos_udf, plan
+
+
+def test_ann_broadcasts_query_side(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    plan = _plan(brute_force_topk(emb, q, k=3))
+    assert "BroadcastExchange" in plan  # queries broadcast, corpus streams
+
+
+def test_blocking_is_single_window_single_join(spark, tmpdir_session):
+    """The unified blocking pass must contain exactly one window and one
+    self-join regardless of how many block families feed it."""
+    import os
+    from record_deduplication_spark.datagen import write_clips_parquet
+    from record_deduplication_spark.operators.signatures import add_signatures
+    d = os.path.join(tmpdir_session, "planclips2")
+    cp, _ = write_clips_parquet(d, n_clips=300, seed=6)
+    clips = spark.read.parquet(cp)
+    signed = add_signatures(clips, DEFAULT_CONFIG)
+    plan = _plan(generate_candidates(signed, DEFAULT_CONFIG))
+    win_nodes = re.findall(r"\(\d+\) Window", plan)
+    join_nodes = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert len(join_nodes) == 1, plan  # exactly one self-join for all 4 families
+    # the windowed member table is materialized before the self-join, so
+    # no Window evaluation is duplicated per join side
+    assert len(win_nodes) == 0, plan
+
+
+def test_aqe_and_skew_join_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_block_members_explode_no_early_shuffle(spark, tmpdir_session):
+    import os
+    from record_deduplication_spark.datagen import write_clips_parquet
+    from record_deduplication_spark.operators.signatures import add_signatures
+    d = os.path.join(tmpdir_session, "planclips3")
+    cp, _ = write_clips_parquet(d, n_clips=200, seed=7)
+    clips = spark.read.parquet(cp)
+    signed = add_signatures(clips, DEFAULT_CONFIG)
+    # member explode itself must be shuffle-free (map-side only)
+    plan = _plan(block_members(signed, DEFAULT_CONFIG))
+    body = plan.split("MapInPandas")[0]
+    assert "Exchange" not in body
