@@ -50,10 +50,10 @@ def _sf_of(sf_dir: str) -> float:
 
 def _corpus_dir(n_clips: int, seed: int = 42) -> str:
     """Deterministic synthetic clips corpus, cached under data/."""
-    d = os.path.join(REPO, "data", f"clips_n{n_clips}_s{seed}")
+    from record_deduplication_spark.datagen import DATAGEN_VERSION, write_clips_parquet
+    d = os.path.join(REPO, "data", f"clips_n{n_clips}_s{seed}_v{DATAGEN_VERSION}")
     marker = os.path.join(d, "clips.parquet")
     if not os.path.exists(marker):
-        from record_deduplication_spark.datagen import write_clips_parquet
         write_clips_parquet(d, n_clips=n_clips, seed=seed)
     return d
 

@@ -26,8 +26,16 @@ class DedupConfig:
     jaccard_threshold: float = 0.80    # verify threshold on exact shingle Jaccard
     minhash_seed: int = 42
     # --- SimHash (audio near-dup over decoded-PCM fingerprints) ---
-    fp_frames: int = 64                # energy-envelope frames -> 64-bit fingerprint
-    simhash_hamming_k: int = 3         # max Hamming distance for a candidate
+    fp_frames: int = 64                # energy-envelope frames (multimodal features)
+    fp_time_frames: int = 17           # spectral fingerprint: (17-1) time diffs
+    fp_freq_bands: int = 4             #   x 4 log-spaced Hz bands = 64 bits
+    fp_fmin_hz: float = 50.0
+    fp_fmax_hz: float = 3800.0
+    simhash_hamming_k: int = 3         # pigeonhole band count = k+1 (blocking)
+    simhash_hamming_verify: int = 10   # max Hamming accepted at verification
+                                       # (blocking recall beyond k is
+                                       # probabilistic: flips spread over 64
+                                       # bits rarely hit all k+1 bands)
     snr_db_min: float = 30.0           # per-row invariant: decoded-PCM allclose at SNR>=30dB
     # --- suffix-array exact-substring ---
     substring_min_tokens: int = 8      # L: min shared contiguous token run

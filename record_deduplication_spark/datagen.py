@@ -27,6 +27,9 @@ import pandas as pd
 
 from .functions.audio import encode_wav, resample_linear
 
+# bump when generation logic changes: benchmark corpus caches key on it
+DATAGEN_VERSION = 2
+
 _WORDS = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
     "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
@@ -42,14 +45,16 @@ def _make_pcm(rng: np.random.Generator, sr: int, dur_ms: int) -> np.ndarray:
     n = int(sr * dur_ms / 1000)
     t = np.arange(n) / sr
     x = np.zeros(n)
-    for _ in range(rng.integers(2, 5)):
+    # per-tone envelopes (different rates/phases) so spectral bands
+    # have independent time profiles — realistic audio has decorrelated
+    # band dynamics, and the spectral fingerprint's entropy depends on it
+    for _ in range(rng.integers(2, 6)):
         f = float(rng.uniform(80, min(3500, sr / 2 - 100)))
-        amp = float(rng.uniform(0.1, 0.35))
+        amp = float(rng.uniform(0.1, 0.3))
         ph = float(rng.uniform(0, 2 * np.pi))
-        x += amp * np.sin(2 * np.pi * f * t + ph)
-    # slow envelope so the energy fingerprint has structure
-    env = 0.55 + 0.45 * np.sin(2 * np.pi * rng.uniform(0.5, 3.0) * t + rng.uniform(0, 6.28))
-    x *= env
+        env = 0.55 + 0.45 * np.sin(2 * np.pi * rng.uniform(0.3, 4.0) * t
+                                   + rng.uniform(0, 6.28))
+        x += amp * env * np.sin(2 * np.pi * f * t + ph)
     x += rng.normal(0, 0.004, n)  # floor noise, ~ -40dB
     return np.clip(x, -0.99, 0.99)
 

@@ -55,7 +55,7 @@ def _sign_batch(pdf: pd.DataFrame, cfg: DedupConfig,
     n_fp_bands = cfg.simhash_hamming_k + 1
     norms, ntoks, shas, fps, bands_l, fpb_l, lgr_l = [], [], [], [], [], [], []
     norm_cache: dict[str, str] = {}
-    for raw_txt, data in zip(pdf["transcript"], pdf["bytes"]):
+    for raw_txt, data, sr_hz in zip(pdf["transcript"], pdf["bytes"], pdf["sr_hz"]):
         key = raw_txt or ""
         norm = norm_cache.get(key)
         if norm is None:
@@ -91,8 +91,10 @@ def _sign_batch(pdf: pd.DataFrame, cfg: DedupConfig,
         b = bytes(data)
         shas.append(hashlib.sha256(b).hexdigest())
         try:
-            pcm, _ = A.decode_wav(b)
-            fp = A.pcm_fingerprint(pcm, cfg.fp_frames)
+            pcm, sr_real = A.decode_wav(b)
+            fp = A.pcm_fingerprint_spectral(
+                pcm, sr_real or int(sr_hz), cfg.fp_time_frames,
+                cfg.fp_freq_bands, cfg.fp_fmin_hz, cfg.fp_fmax_hz)
             fps.append(fp)
             fpb_l.append(H.simhash_bands(fp, n_fp_bands))
         except Exception:

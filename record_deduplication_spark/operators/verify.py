@@ -135,7 +135,7 @@ def verify_audio(pending: DataFrame, clips: DataFrame, cfg: DedupConfig) -> Data
            .where(F.col("fp_1").isNotNull() & F.col("fp_2").isNotNull())
            # Hamming via JVM-side bit ops: popcount(xor)
            .where(F.bit_count(F.col("fp_1").bitwiseXOR(F.col("fp_2")))
-                  <= F.lit(cfg.simhash_hamming_k))
+                  <= F.lit(cfg.simhash_hamming_verify))
            .select("id_1", "id_2"))
 
     payload = clips.select("clip_id", "bytes")

@@ -65,7 +65,10 @@ def oracle_dedup(clips: pd.DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> dict
         p, s = A.decode_wav(r.bytes)
         pcm[r.clip_id] = p
         sr[r.clip_id] = s
-    fp = {i: A.pcm_fingerprint(pcm[i], cfg.fp_frames) for i in ids}
+    fp = {i: A.pcm_fingerprint_spectral(pcm[i], sr[i], cfg.fp_time_frames,
+                                        cfg.fp_freq_bands, cfg.fp_fmin_hz,
+                                        cfg.fp_fmax_hz)
+          for i in ids}
 
     a_coef, b_coef = H.minhash_params(cfg.num_perm, cfg.minhash_seed)
     sig = {}
@@ -149,7 +152,7 @@ def oracle_dedup(clips: pd.DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> dict
                     edges.append((x, y, "substring", j))
                     ok = True
         if not ok and "simhash" in srcs:
-            if H.hamming64(fp[x], fp[y]) <= cfg.simhash_hamming_k and norm[x] == norm[y]:
+            if H.hamming64(fp[x], fp[y]) <= cfg.simhash_hamming_verify and norm[x] == norm[y]:
                 passed, s = A.pcm_allclose_snr(pcm[x], sr[x], pcm[y], sr[y], cfg.snr_db_min)
                 if passed:
                     edges.append((x, y, "audio", s))
