@@ -83,7 +83,10 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for src, dst in e.toLocalIterator():
+    # one collect, one job (toLocalIterator would run one job per
+    # partition — 32 scheduler round-trips for a table that fits in a
+    # single driver batch by the cc_driver_max_edges contract)
+    for src, dst in e.collect():
         if src not in parent:
             parent[src] = src
         if dst not in parent:
@@ -93,8 +96,13 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    rows = [(x, find(x)) for x in parent]
-    return spark.createDataFrame(rows, "clip_id string, component string")
+    import pandas as pd
+    keys = list(parent)
+    pdf = pd.DataFrame({"clip_id": keys, "component": [find(x) for x in keys]})
+    # Arrow-path createDataFrame: the plain-list overload pickles row by
+    # row through py4j (seconds for ~10^5 rows); the pandas overload
+    # ships one Arrow batch.
+    return spark.createDataFrame(pdf)
 
 
 def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:

@@ -138,11 +138,22 @@ def verify_audio(pending: DataFrame, clips: DataFrame, cfg: DedupConfig) -> Data
                   <= F.lit(cfg.simhash_hamming_verify))
            .select("id_1", "id_2"))
 
-    payload = clips.select("clip_id", "bytes")
+    # Joining the WHOLE clips table to the pair list by shuffle would
+    # move every audio byte across the cluster (the exact thing
+    # SURVEY.md §7.3 forbids — measured locally it was the pipeline's
+    # single biggest stage). Instead: broadcast the surviving clip-id
+    # set into the payload scan (map-side semi-join prunes the scan to
+    # the few survivors), materialize that small subset once, and only
+    # ITS bytes ever enter a join shuffle.
+    ids = (pre.select(F.col("id_1").alias("clip_id"))
+           .unionByName(pre.select(F.col("id_2").alias("clip_id")))
+           .distinct())
+    sub = (clips.select("clip_id", "bytes")
+           .join(F.broadcast(ids), "clip_id")
+           .localCheckpoint(eager=True))  # read twice below; scan clips once
     j = (pre
-         .join(payload.select(F.col("clip_id").alias("id_1"), F.col("bytes").alias("bytes_1")), "id_1")
-         .join(payload.select(F.col("clip_id").alias("id_2"), F.col("bytes").alias("bytes_2")), "id_2")
-         .repartition(pending.sparkSession.sparkContext.defaultParallelism))
+         .join(sub.select(F.col("clip_id").alias("id_1"), F.col("bytes").alias("bytes_1")), "id_1")
+         .join(sub.select(F.col("clip_id").alias("id_2"), F.col("bytes").alias("bytes_2")), "id_2"))
 
     snr_min = cfg.snr_db_min
 

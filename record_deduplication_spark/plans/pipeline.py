@@ -93,5 +93,6 @@ class DedupPipeline:
             "reduction_ratio": B.reduction_ratio(n_clips, n_cands),
         }
         self.store.log(run_id, "pipeline_done", time.time(), n_clips, 0, **stats)
+        self.store.flush()
         return PipelineResult(clusters=clusters, edges=edges,
                               candidates=cands, stats=stats)

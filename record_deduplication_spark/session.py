@@ -30,7 +30,20 @@ def build_session(app: str = "record_dedup_spark", master: str | None = None,
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
          .config("spark.ui.enabled", "false")
-         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+         # Arrow batch sizing is driven by the WIDE rows: a 2048-row
+         # batch of ~64 KB audio payloads is ~130 MB in flight PER TASK
+         # (x32 tasks = several GB buffered in one local JVM -> GC
+         # collapse; on a cluster it's the same pathology per executor).
+         # 256 rows keeps binary batches ~16 MB while costing string-only
+         # UDF stages <1% in per-batch overhead.
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+         # Parquet vectorized-reader batches are sized in ROWS (4096
+         # default): with ~64 KB audio payloads that is a ~270 MB on-heap
+         # columnar batch PER TASK — at 32 concurrent tasks the G1
+         # humongous-allocation storm collapses the whole JVM (measured
+         # 10x slowdown). 128 rows keeps binary scan batches ~8 MB;
+         # costs <1% on narrow all-scalar scans at local bench scale.
+         .config("spark.sql.parquet.columnarReaderBatchSize", "128")
          # split parquet scans finer than the 128m default: the
          # signature pass is CPU-bound per byte, so scan-parallelism is
          # worth more than fewer tasks (at 100 TB there are plenty of

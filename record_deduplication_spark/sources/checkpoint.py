@@ -57,6 +57,7 @@ class CheckpointStore:
         self.base = base
         os.makedirs(base, exist_ok=True)
         self.use_iceberg = _iceberg_available(spark)
+        self._pending: list[tuple] = []
 
     # ---- stage tables ----
     def path(self, stage: str) -> str:
@@ -85,13 +86,24 @@ class CheckpointStore:
         return 1
 
     # ---- metrics / lineage (S7-analog) ----
+    # Rows are buffered in the driver and flushed as ONE table write:
+    # a per-stage single-row parquet append costs a full Spark
+    # write job (measured 6-7 s each under load) — 4 stages of lineage
+    # must not cost more than a pipeline stage. flush() is called by
+    # the pipeline when the run completes; an aborted run loses only
+    # its own in-flight metric rows, never committed ones.
     def log(self, run_id: int, stage: str, ts_start: float, rows: int,
             n_partitions: int, **stats) -> None:
         ts_end = time.time()
-        row = [(run_id, stage, float(ts_start), float(ts_end), int(rows),
-                float(ts_end - ts_start), int(n_partitions),
-                json.dumps(stats, sort_keys=True))]
-        (self.spark.createDataFrame(row, METRICS_SCHEMA)
+        self._pending.append((run_id, stage, float(ts_start), float(ts_end),
+                              int(rows), float(ts_end - ts_start),
+                              int(n_partitions), json.dumps(stats, sort_keys=True)))
+
+    def flush(self) -> None:
+        if not self._pending:
+            return
+        rows, self._pending = self._pending, []
+        (self.spark.createDataFrame(rows, METRICS_SCHEMA)
          .coalesce(1).write.mode("append").parquet(self.path("metrics")))
 
     def metrics(self) -> DataFrame:
