@@ -554,6 +554,274 @@ FROM documents GROUP BY source ORDER BY source
 """)
 
 
+# ---- M1: heuristic labeling (threshold masks + class stats) ----
+# reference: /root/reference/src/core/model_engine.py:54-124
+_m1 = """
+WITH feats AS (
+  SELECT o_orderkey,
+         CASE WHEN o_totalprice >= 150000 THEN 1.0 ELSE o_totalprice / 150000 END AS price_sim,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1.0 ELSE 0.0 END AS prio_exact
+  FROM orders
+),
+lab AS (
+  SELECT o_orderkey,
+         CASE WHEN price_sim >= 0.8 AND prio_exact = 1.0 THEN 1
+              WHEN price_sim <= 0.2 AND prio_exact = 0.0 THEN 0
+              ELSE -1 END AS label
+  FROM feats
+)
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n
+FROM lab GROUP BY label ORDER BY label
+"""
+_q("heuristic_labels", _m1, _m1)
+
+# ---- M3: logistic scoring as a native column expression (no UDF) ----
+# reference: /root/reference/src/core/model_engine.py:230-261 — scoring is
+# sigmoid(b0 + sum bi*xi) with broadcast coefficients, so it folds into
+# whole-stage codegen.
+_q("linear_score_bands",
+   """
+WITH feats AS (
+  SELECT o_orderkey,
+         least(o_totalprice / 200000, 1.0) AS x1,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS x2
+  FROM orders
+),
+scored AS (
+  SELECT o_orderkey,
+         round(1.0 / (1.0 + exp(-(-2.0 + 3.0 * x1 + 1.5 * x2))), 6) AS prob
+  FROM feats
+)
+SELECT CASE WHEN prob >= 0.9 THEN 'high'
+            WHEN prob >= 0.6 THEN 'manual'
+            ELSE 'low' END AS band,
+       count(*) AS n,
+       round(sum(prob), 3) AS sum_prob
+FROM scored GROUP BY 1 ORDER BY band
+""",
+   """
+WITH feats AS (
+  SELECT o_orderkey,
+         least(o_totalprice / 200000, 1.0) AS x1,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS x2
+  FROM orders
+),
+scored AS (
+  SELECT o_orderkey,
+         round(1.0 / (1.0 + exp(-(-2.0 + 3.0 * x1 + 1.5 * x2))), 6) AS prob
+  FROM feats
+)
+SELECT CASE WHEN prob >= 0.9 THEN 'high'
+            WHEN prob >= 0.6 THEN 'manual'
+            ELSE 'low' END AS band,
+       count(*) AS n,
+       round(sum(prob), 3) AS sum_prob
+FROM scored GROUP BY 1 ORDER BY band
+""")
+
+# ---- C1: pair -> record melt + per-record aggregation ----
+# reference: /root/reference/src/core/clustering_engine.py:227-319 (stack
+# both pair directions, groupby record, mean/max). Pairs here are the
+# sorted-neighbourhood pairs; feature = name edit-distance similarity.
+_c1_spark = """
+WITH r AS (
+  SELECT c_custkey, c_name, row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer
+),
+pairs AS (
+  SELECT a.c_custkey AS id_1, b.c_custkey AS id_2,
+         levenshtein(a.c_name, b.c_name) AS edit_dist
+  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
+),
+melt AS (
+  SELECT id_1 AS custkey, edit_dist FROM pairs
+  UNION ALL
+  SELECT id_2 AS custkey, edit_dist FROM pairs
+)
+SELECT custkey, count(*) AS n_pairs,
+       round(CAST(sum(edit_dist) AS DOUBLE) / count(*), 6) AS mean_edit_dist,
+       CAST(min(edit_dist) AS BIGINT) AS min_edit_dist
+FROM melt GROUP BY custkey ORDER BY custkey
+"""
+_q("pair_melt_record_agg", _c1_spark, _c1_spark)
+
+# ---- F1: edit-distance string similarity over blocked pairs ----
+# reference: /root/reference/src/core/similarity_engine.py:76-78 (string
+# sim over candidate pairs; builtin levenshtein replaces jarowinkler —
+# same operator shape: pair join + scalar string metric + threshold).
+_f1_spark = """
+WITH r AS (
+  SELECT c_custkey, c_name, row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer
+)
+SELECT a.c_custkey AS id_1, b.c_custkey AS id_2,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
+WHERE levenshtein(a.c_name, b.c_name) <= 3
+ORDER BY id_1, id_2
+"""
+_q("levenshtein_pairs", _f1_spark, _f1_spark)
+
+# ---- C14: cluster statistics (sizes, buckets, percentiles) ----
+# reference: /root/reference/src/core/clustering/cluster_stats.py:18-175
+_c14_spark = """
+WITH cl AS (
+  SELECT concat_ws(' ', slice(split(text,' '), 1, 4)) AS cluster_key, count(*) AS sz
+  FROM documents GROUP BY 1
+)
+SELECT CASE WHEN sz = 1 THEN 'singleton'
+            WHEN sz <= 3 THEN 'tiny'
+            WHEN sz <= 10 THEN 'small'
+            ELSE 'large' END AS bucket,
+       count(*) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_records,
+       CAST(max(sz) AS BIGINT) AS max_size
+FROM cl GROUP BY 1 ORDER BY bucket
+"""
+_q("cluster_size_stats", _c14_spark, _c14_spark.replace(
+    "concat_ws(' ', slice(split(text,' '), 1, 4))",
+    "array_to_string(string_split(text,' ')[1:4], ' ')"))
+
+# ---- G2: duplicate-group materialization (members + min-id survivor) ----
+# reference: /root/reference/src/core/openai_deduplicator.py:174-218
+_q("dup_group_materialize",
+   """
+SELECT concat_ws(' ', slice(split(text,' '), 1, 4)) AS group_key,
+       min(doc_id) AS survivor,
+       count(*) - 1 AS n_merged,
+       array_join(array_sort(collect_list(CAST(doc_id AS STRING))), ',') AS merged_from
+FROM documents GROUP BY 1 HAVING count(*) > 1
+ORDER BY group_key
+""",
+   """
+SELECT array_to_string(string_split(text,' ')[1:4], ' ') AS group_key,
+       min(doc_id) AS survivor,
+       count(*) - 1 AS n_merged,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id::VARCHAR) AS merged_from
+FROM documents GROUP BY 1 HAVING count(*) > 1
+ORDER BY group_key
+""")
+
+# ---- rollup: multi-level aggregation in one pass (engine completeness;
+#      the reference has no grouping-sets — SURVEY.md §2.9) ----
+_ru = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+_q("rollup_orders", _ru, _ru)
+
+# ---- B6: blocking reduction-ratio stats per source ----
+# reference: /root/reference/src/core/blocking_engine.py:188-202
+_b6 = """
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+blocked_pairs AS (
+  SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_pairs FROM (
+    SELECT count(*) AS c FROM documents
+    GROUP BY concat_ws(' ', slice(split(text,' '), 1, 4))
+  )
+)
+SELECT n.n_docs AS n_records,
+       blocked_pairs.n_pairs AS candidate_pairs,
+       round(1.0 - blocked_pairs.n_pairs /
+             (CAST(n.n_docs AS DOUBLE) * (n.n_docs - 1) / 2.0), 9) AS reduction_ratio
+FROM n CROSS JOIN blocked_pairs
+"""
+_q("blocking_reduction_ratio", _b6, _b6.replace(
+    "concat_ws(' ', slice(split(text,' '), 1, 4))",
+    "array_to_string(string_split(text,' ')[1:4], ' ')"))
+
+
+# ---- R4/S6: JSON scalar functions (build + extract) ----
+# reference: /root/reference/src/core/reporting_engine.py:121-182 (GPT
+# review JSON flatten) — here as engine-level JSON path extraction.
+_q("json_extract_fields",
+   """
+WITH j AS (
+  SELECT doc_id,
+         concat('{"doc_id":', CAST(doc_id AS STRING),
+                ',"lang":"', lang, '","n_chars":', CAST(n_chars AS STRING), '}') AS payload
+  FROM documents
+)
+SELECT get_json_object(payload, '$.lang') AS lang,
+       count(*) AS n_docs,
+       CAST(sum(CAST(get_json_object(payload, '$.n_chars') AS BIGINT)) AS BIGINT) AS total_chars
+FROM j GROUP BY 1 ORDER BY lang
+""",
+   """
+WITH j AS (
+  SELECT doc_id,
+         concat('{"doc_id":', doc_id::VARCHAR,
+                ',"lang":"', lang, '","n_chars":', n_chars::VARCHAR, '}') AS payload
+  FROM documents
+)
+SELECT json_extract_string(payload, '$.lang') AS lang,
+       count(*) AS n_docs,
+       CAST(sum(json_extract_string(payload, '$.n_chars')::BIGINT) AS BIGINT) AS total_chars
+FROM j GROUP BY 1 ORDER BY lang
+""")
+
+# ---- C2: feature engineering — non-linear column math + row-stats ----
+# reference: /root/reference/src/core/clustering_engine.py:242-315 and
+# feature_engineering.py:78-167 (x^2, sqrt, log, row min/max/range).
+_c2 = """
+WITH f AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity AS x1,
+         l_discount * 10 AS x2,
+         l_tax * 10 AS x3
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       round(x1 * x1, 4) AS x1_sq,
+       round(sqrt(x1), 4) AS x1_sqrt,
+       round(ln(1 + x1), 4) AS x1_log1p,
+       round(greatest(x1, x2, x3) - least(x1, x2, x3), 4) AS row_range,
+       round(x1 * x2, 4) AS interaction
+FROM f ORDER BY l_orderkey, l_linenumber LIMIT 100
+"""
+_q("feature_engineering_math", _c2, _c2)
+
+# ---- C10: Force-split subdivision of oversized clusters ----
+# reference: /root/reference/src/core/clustering/hierarchical/
+# subdivision_engine_v3.py:522-598 (guaranteed-progress split). The
+# deterministic hash-bucket variant: clusters over max_size split into
+# ceil(size/max_size) buckets by intra-cluster rank.
+_c10 = """
+WITH cl AS (
+  SELECT doc_id, concat_ws(' ', slice(split(text,' '), 1, 4)) AS cluster_key
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, cluster_key,
+         row_number() OVER (PARTITION BY cluster_key ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_key) AS sz
+  FROM cl
+),
+split AS (
+  SELECT doc_id, cluster_key, sz,
+         CASE WHEN sz > 2 THEN CAST((rn - 1) / 2 AS INT) ELSE 0 END AS bucket
+  FROM ranked
+)
+SELECT concat(cluster_key, ':', CAST(bucket AS STRING)) AS sub_cluster,
+       count(*) AS n_members,
+       min(doc_id) AS survivor
+FROM split
+GROUP BY 1
+HAVING count(*) > 1
+ORDER BY sub_cluster
+"""
+_q("force_split_oversized", _c10, _c10
+   .replace("concat_ws(' ', slice(split(text,' '), 1, 4))",
+            "array_to_string(string_split(text,' ')[1:4], ' ')")
+   .replace("CAST((rn - 1) / 2 AS INT)", "((rn - 1) // 2)::INT")
+   .replace("CAST(bucket AS STRING)", "bucket::VARCHAR"))
+
+
 # --------------------------------------------------------------------------
 # Runners
 # --------------------------------------------------------------------------

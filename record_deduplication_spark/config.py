@@ -41,7 +41,11 @@ class DedupConfig:
     substring_min_tokens: int = 8      # L: min shared contiguous token run
     # --- skew handling ---
     max_block_full_pairs: int = 64     # full pairwise join only for blocks <= this size
-    hot_block_neighbor_w: int = 8      # sorted-neighbor pairing width inside hot blocks
+    hot_block_neighbor_w: int = 8      # sorted-neighbor pairing width inside hot sub-blocks
+    hot_block_salt_target: int = 1024  # salted sub-block size for hot blocks:
+                                       # salt = pmod(xxhash64(clip_id), ceil(bsz/target));
+                                       # a hot band spreads over bsz/target tasks
+                                       # instead of one (north-rule salted repartition)
     # --- clustering ---
     noise_label: int = -1              # singleton convention
                                        # (reference: /root/reference/src/core/clustering_engine.py:527-529)

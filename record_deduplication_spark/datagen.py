@@ -86,27 +86,37 @@ def _edit_tokens(rng: np.random.Generator, text: str, n_edits: int) -> str:
 
 
 def generate_clips(n_clips: int = 2000, seed: int = 42,
-                   hot_group_frac: float = 0.05) -> tuple[pd.DataFrame, pd.DataFrame]:
+                   hot_group_frac: float = 0.05,
+                   dur_min_ms: int = 200,
+                   dur_max_ms: int = 3000,
+                   id_prefix: str = "c",
+                   cluster_base: int = 0) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Returns (clips_df, truth_df).
 
     truth cluster_id: non-negative int for planted multi-member groups,
     -1 for singletons/negatives.
+
+    dur_min_ms/dur_max_ms size the clips: tests use the short default;
+    the scaling benchmark uses multi-second clips so the per-clip
+    decode+fingerprint compute dominates fixed per-job latency the way
+    it does on real corpora (a 100 TB corpus is ~minutes of audio per
+    clip, not 0.2-3 s).
     """
     rng = np.random.default_rng(seed)
     rows: list[dict] = []
     truth: list[tuple[str, int]] = []
     next_id = 0
-    cluster = 0
+    cluster = cluster_base
 
     def cid() -> str:
         nonlocal next_id
-        s = f"c{next_id:09d}"
+        s = f"{id_prefix}{next_id:09d}"
         next_id += 1
         return s
 
     def base_clip(n_words: int | None = None, dur_ms: int | None = None):
         sr = int(_SRS[int(rng.integers(0, 3))])
-        dur = int(dur_ms or rng.integers(200, 3000))
+        dur = int(dur_ms or rng.integers(dur_min_ms, dur_max_ms))
         pcm = _make_pcm(rng, sr, dur)
         txt = _make_transcript(rng, int(n_words or rng.integers(6, 40)))
         return pcm, sr, dur, txt
@@ -181,11 +191,14 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
     return clips, truth_df
 
 
-def write_clips_parquet(out_dir: str, n_clips: int = 2000, seed: int = 42) -> tuple[str, str]:
+def write_clips_parquet(out_dir: str, n_clips: int = 2000, seed: int = 42,
+                        dur_min_ms: int = 200,
+                        dur_max_ms: int = 3000) -> tuple[str, str]:
     """Materialize clips + truth as parquet; returns (clips_path, truth_path)."""
     import os
     os.makedirs(out_dir, exist_ok=True)
-    clips, truth = generate_clips(n_clips=n_clips, seed=seed)
+    clips, truth = generate_clips(n_clips=n_clips, seed=seed,
+                                  dur_min_ms=dur_min_ms, dur_max_ms=dur_max_ms)
     cp = os.path.join(out_dir, "clips.parquet")
     tp = os.path.join(out_dir, "clusters_truth.parquet")
     # small row groups so Spark's parquet scan can parallelize the
@@ -194,3 +207,39 @@ def write_clips_parquet(out_dir: str, n_clips: int = 2000, seed: int = 42) -> tu
     clips.to_parquet(cp, index=False, row_group_size=128)
     truth.to_parquet(tp, index=False)
     return cp, tp
+
+
+def _gen_shard(args: tuple) -> tuple[str, str]:
+    (out_dir, i, n, seed, dur_min_ms, dur_max_ms) = args
+    import os
+    clips, truth = generate_clips(
+        n_clips=n, seed=seed + i, dur_min_ms=dur_min_ms, dur_max_ms=dur_max_ms,
+        id_prefix=f"s{i:02d}c", cluster_base=i * 10_000_000)
+    cp = os.path.join(out_dir, "clips.parquet", f"part-{i:03d}.parquet")
+    tp = os.path.join(out_dir, "clusters_truth.parquet", f"part-{i:03d}.parquet")
+    clips.to_parquet(cp, index=False, row_group_size=128)
+    truth.to_parquet(tp, index=False)
+    return cp, tp
+
+
+def write_clips_parquet_sharded(out_dir: str, n_clips: int, seed: int = 42,
+                                dur_min_ms: int = 200, dur_max_ms: int = 3000,
+                                n_shards: int = 10) -> tuple[str, str]:
+    """Parallel corpus generation: `n_shards` independent deterministic
+    shards (seed+i, disjoint id prefixes, disjoint cluster-id ranges)
+    written as parts of a parquet DIRECTORY. Functionally equivalent to
+    one big table for every consumer (Spark, pyarrow, oracle); ~10x
+    faster to build for the multi-GB scaling corpora.
+    """
+    import os
+    from multiprocessing import Pool
+    os.makedirs(os.path.join(out_dir, "clips.parquet"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "clusters_truth.parquet"), exist_ok=True)
+    per = [n_clips // n_shards] * n_shards
+    per[0] += n_clips - sum(per)
+    tasks = [(out_dir, i, per[i], seed, dur_min_ms, dur_max_ms)
+             for i in range(n_shards)]
+    with Pool(min(n_shards, os.cpu_count() or 4)) as p:
+        p.map(_gen_shard, tasks)
+    return (os.path.join(out_dir, "clips.parquet"),
+            os.path.join(out_dir, "clusters_truth.parquet"))

@@ -14,21 +14,25 @@ generation is then a single window + single range self-join instead of
 four of each (4x fewer shuffles).
 
 Skew strategy (SURVEY.md §7.3 "Hot-band skew", the 10^12-scale killer):
-a block of m members naively yields O(m^2) pairs. Single scale-safe
-policy:
+a block of m members naively yields O(m^2) pairs AND lands in one
+task if windowed/grouped by the bare block key. Single scale-safe
+policy (see pairs_within_blocks):
 
   * block size <= cfg.max_block_full_pairs: full pairwise join
     (small-dim behavior, matches the oracle's full-pairing exactly);
-  * larger (hot) blocks: sort members by clip_id inside the block and
-    pair each with its next `hot_block_neighbor_w` neighbors — LINEAR
-    in block size. Chain connectivity keeps the block's component
-    intact for connected-components clustering, so cluster-level
-    recall is preserved while the pair count is bounded.
+  * larger (hot) blocks: SALTED REPARTITION — hash-salt the block
+    into ~cfg.hot_block_salt_target-member sub-blocks, neighbor-chain
+    within each sub-block, and stitch sub-blocks with one
+    representative chain. LINEAR pair count, and per-task width is
+    bounded by the salt target regardless of block size. Chain
+    connectivity keeps the block's component intact for
+    connected-components clustering, so cluster-level recall is
+    preserved.
 
-Both paths are a row_number window + range self-join on the block key,
-so Catalyst plans an equi-join on (source, bkey) with a range filter;
-AQE handles residual partition skew. Within-block ordering by clip_id
-keeps output deterministic.
+All paths are row_number windows + equi-joins on (source, bkey[,
+salt]) with range filters; block sizes come from a groupBy (partial
+aggregation, skew-safe), never a count() window. Within-block
+ordering by clip_id keeps output deterministic.
 """
 
 from __future__ import annotations
@@ -66,32 +70,89 @@ def block_members(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def pairs_within_blocks(members: DataFrame, cfg: DedupConfig,
                         materialize: bool = True) -> DataFrame:
-    """(clip_id, source, bkey) -> (id_1 < id_2, source), linear per block."""
-    w = Window.partitionBy("source", "bkey").orderBy("clip_id")
+    """(clip_id, source, bkey) -> (id_1 < id_2, source), linear per block.
+
+    Two tiers, chosen per block by size (sizes come from a groupBy —
+    partial aggregation is skew-safe — never from a count() window,
+    which would drag a whole hot block into one task):
+
+    * bsz <= cfg.max_block_full_pairs: full pairwise join (small-dim
+      behavior; matches the oracle's full pairing exactly).
+    * hot blocks: SALTED REPARTITION. salt = pmod(xxhash64(clip_id),
+      ceil(bsz / salt_target)) splits the block into sub-blocks of
+      ~salt_target members, each windowed/paired independently (so a
+      10M-member band occupies ~10k tasks, not 1); members chain to
+      `hot_block_neighbor_w` neighbors within their sub-block, and the
+      per-salt min members form one representative chain that stitches
+      the salts together. Connectivity of the whole block is preserved
+      (chains are connected, reps connect chains), so CC-level recall
+      survives while pair count and per-task width stay LINEAR.
+    """
+    sizes = members.groupBy("source", "bkey").agg(F.count(F.lit(1)).alias("bsz"))
     m = (members
-         .withColumn("rn", F.row_number().over(w))
-         .withColumn("bsz", F.count(F.lit(1)).over(Window.partitionBy("source", "bkey"))))
-    # singleton blocks can't pair — drop them before the join (the vast
-    # majority of blocks at scale)
-    m = m.where(F.col("bsz") > 1)
+         .join(sizes.where(F.col("bsz") > 1), ["source", "bkey"]))
     if materialize:
-        # a self-join physically evaluates its child once PER SIDE; the
-        # windowed member table is expensive (signature explode + sort),
-        # so pin it before aliasing (on a cluster: persist/checkpoint)
+        # self-joins evaluate their child once PER SIDE; the member
+        # table is expensive (signature explode) — pin it first (on a
+        # real cluster: persist/checkpoint)
         m = m.localCheckpoint(eager=True)
 
-    a, b = m.alias("a"), m.alias("b")
     cap, nb = cfg.max_block_full_pairs, cfg.hot_block_neighbor_w
-    joined = a.join(
+
+    # --- tier 1: small blocks, full pairwise ---
+    small = m.where(F.col("bsz") <= cap)
+    ws = Window.partitionBy("source", "bkey").orderBy("clip_id")
+    small = small.withColumn("rn", F.row_number().over(ws))
+    a, b = small.alias("a"), small.alias("b")
+    full_pairs = (a.join(
         b,
         [F.col("a.source") == F.col("b.source"),
          F.col("a.bkey") == F.col("b.bkey"),
+         F.col("b.rn") > F.col("a.rn")])
+        .select(F.col("a.clip_id").alias("id_1"),
+                F.col("b.clip_id").alias("id_2"),
+                F.col("a.source").alias("source")))
+
+    # --- tier 2: hot blocks, salted chains ---
+    hot = (m.where(F.col("bsz") > cap)
+           .withColumn("n_salts",
+                       F.ceil(F.col("bsz") / F.lit(cfg.hot_block_salt_target))
+                       .cast("int"))
+           .withColumn("salt", F.pmod(F.xxhash64("clip_id"), F.col("n_salts"))))
+    wh = Window.partitionBy("source", "bkey", "salt").orderBy("clip_id")
+    hot = hot.withColumn("rn", F.row_number().over(wh))
+    if materialize:
+        hot = hot.localCheckpoint(eager=True)
+    ha, hb = hot.alias("a"), hot.alias("b")
+    chain_pairs = (ha.join(
+        hb,
+        [F.col("a.source") == F.col("b.source"),
+         F.col("a.bkey") == F.col("b.bkey"),
+         F.col("a.salt") == F.col("b.salt"),
          F.col("b.rn") > F.col("a.rn"),
-         # full pairing for small blocks, neighbor-w chain for hot ones
-         (F.col("a.bsz") <= cap) | (F.col("b.rn") <= F.col("a.rn") + nb)])
-    return joined.select(F.col("a.clip_id").alias("id_1"),
-                         F.col("b.clip_id").alias("id_2"),
-                         F.col("a.source").alias("source"))
+         F.col("b.rn") <= F.col("a.rn") + nb])
+        .select(F.col("a.clip_id").alias("id_1"),
+                F.col("b.clip_id").alias("id_2"),
+                F.col("a.source").alias("source")))
+
+    # representatives: min member of each salt bucket, chained in
+    # clip_id order within the block (#reps per block = bsz/salt_target
+    # — bounded; a 10M-member block has ~10k reps in one window task)
+    reps = (hot.groupBy("source", "bkey", "salt")
+            .agg(F.min("clip_id").alias("clip_id")))
+    wr = Window.partitionBy("source", "bkey").orderBy("clip_id")
+    reps = reps.withColumn("rn", F.row_number().over(wr))
+    ra, rb = reps.alias("a"), reps.alias("b")
+    rep_pairs = (ra.join(
+        rb,
+        [F.col("a.source") == F.col("b.source"),
+         F.col("a.bkey") == F.col("b.bkey"),
+         F.col("b.rn") == F.col("a.rn") + 1])
+        .select(F.col("a.clip_id").alias("id_1"),
+                F.col("b.clip_id").alias("id_2"),
+                F.col("a.source").alias("source")))
+
+    return full_pairs.unionByName(chain_pairs).unionByName(rep_pairs)
 
 
 def generate_candidates(signed: DataFrame, cfg: DedupConfig) -> DataFrame:

@@ -38,6 +38,11 @@ from ..functions import audio as A
 from ..functions import text as X
 from ..functions.suffix_array import longest_common_run
 
+# survivor-id count up to which the audio payload fetch uses a
+# collected isin() predicate (parquet scan pruning) instead of a
+# broadcast semi-join (full scan); see verify_audio
+_IDS_PUSHDOWN_MAX = 10_000
+
 
 def jaccard_udf(cfg: DedupConfig):
     k = cfg.shingle_k
@@ -141,16 +146,26 @@ def verify_audio(pending: DataFrame, clips: DataFrame, cfg: DedupConfig) -> Data
     # Joining the WHOLE clips table to the pair list by shuffle would
     # move every audio byte across the cluster (the exact thing
     # SURVEY.md §7.3 forbids — measured locally it was the pipeline's
-    # single biggest stage). Instead: broadcast the surviving clip-id
-    # set into the payload scan (map-side semi-join prunes the scan to
-    # the few survivors), materialize that small subset once, and only
-    # ITS bytes ever enter a join shuffle.
+    # single biggest stage). Prune the payload scan to the survivors:
+    #
+    # * small survivor set (the common case: post-LSH, post-Hamming,
+    #   equal transcripts): collect the ids and filter with isin() —
+    #   the In-predicate pushes into the parquet scan, so row-group
+    #   min/max stats SKIP most of the binary column entirely
+    #   (a broadcast join never prunes the scan: every byte is still
+    #   read and decompressed before the join drops it);
+    # * large survivor set (pathological corpus): broadcast semi-join —
+    #   full scan, but bytes still never shuffle.
     ids = (pre.select(F.col("id_1").alias("clip_id"))
            .unionByName(pre.select(F.col("id_2").alias("clip_id")))
            .distinct())
-    sub = (clips.select("clip_id", "bytes")
-           .join(F.broadcast(ids), "clip_id")
-           .localCheckpoint(eager=True))  # read twice below; scan clips once
+    id_rows = ids.limit(_IDS_PUSHDOWN_MAX + 1).collect()
+    payload = clips.select("clip_id", "bytes")
+    if len(id_rows) <= _IDS_PUSHDOWN_MAX:
+        sub = payload.where(F.col("clip_id").isin([r.clip_id for r in id_rows]))
+    else:
+        sub = payload.join(F.broadcast(ids), "clip_id")
+    sub = sub.localCheckpoint(eager=True)  # read twice below; scan clips once
     j = (pre
          .join(sub.select(F.col("clip_id").alias("id_1"), F.col("bytes").alias("bytes_1")), "id_1")
          .join(sub.select(F.col("clip_id").alias("id_2"), F.col("bytes").alias("bytes_2")), "id_2"))

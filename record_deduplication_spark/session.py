@@ -31,19 +31,28 @@ def build_session(app: str = "record_dedup_spark", master: str | None = None,
          .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
          .config("spark.ui.enabled", "false")
          # Arrow batch sizing is driven by the WIDE rows: a 2048-row
-         # batch of ~64 KB audio payloads is ~130 MB in flight PER TASK
-         # (x32 tasks = several GB buffered in one local JVM -> GC
+         # batch of 64-200 KB audio payloads is 100s of MB in flight PER
+         # TASK (x32 tasks = several GB buffered in one local JVM -> GC
          # collapse; on a cluster it's the same pathology per executor).
-         # 256 rows keeps binary batches ~16 MB while costing string-only
-         # UDF stages <1% in per-batch overhead.
-         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+         # 128 rows keeps binary batches ~10-25 MB while costing
+         # string-only UDF stages <1% in per-batch overhead.
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
          # Parquet vectorized-reader batches are sized in ROWS (4096
-         # default): with ~64 KB audio payloads that is a ~270 MB on-heap
-         # columnar batch PER TASK — at 32 concurrent tasks the G1
-         # humongous-allocation storm collapses the whole JVM (measured
-         # 10x slowdown). 128 rows keeps binary scan batches ~8 MB;
-         # costs <1% on narrow all-scalar scans at local bench scale.
-         .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+         # default): with wide binary payloads that is a ~GB-scale
+         # on-heap columnar batch PER TASK — at 32 concurrent tasks the
+         # G1 humongous-allocation storm collapses the whole JVM
+         # (measured 10x slowdown). 64 rows keeps binary scan batches
+         # ~4-12 MB; costs <1% on narrow all-scalar scans locally.
+         .config("spark.sql.parquet.columnarReaderBatchSize", "64")
+         # 32 MB G1 regions raise the humongous-allocation threshold to
+         # 16 MB so the (bounded) columnar/Arrow batches above allocate
+         # on the normal fast path.
+         .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
+         # above the default threshold (10) an In-predicate is pushed to
+         # parquet only as a [min,max] range — useless for scattered
+         # clip_ids. The audio payload fetch relies on a real In filter
+         # for row-group skipping (verify_audio), so raise it.
+         .config("spark.sql.parquet.pushdown.inFilterThreshold", "10000")
          # split parquet scans finer than the 128m default: the
          # signature pass is CPU-bound per byte, so scan-parallelism is
          # worth more than fewer tasks (at 100 TB there are plenty of

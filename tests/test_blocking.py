@@ -1,0 +1,97 @@
+"""Salted hot-block pairing: linearity + connectivity guarantees.
+
+The north rule requires salted repartitioning for hot-band skew. These
+tests check the contract of `pairs_within_blocks` directly on synthetic
+member tables: bounded pair count, canonical ordering, no duplicate
+pairs, and — the CC-recall-preserving property — every block's members
+form ONE connected component in the emitted pair graph even when the
+block is split across salts.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from record_deduplication_spark.config import DedupConfig
+from record_deduplication_spark.operators.blocking import pairs_within_blocks
+
+CFG = DedupConfig(max_block_full_pairs=8, hot_block_neighbor_w=3,
+                  hot_block_salt_target=40)
+
+
+def _members(spark, blocks: dict[int, int]):
+    """blocks: bkey -> member count."""
+    rows = [(f"m{bkey:03d}_{i:05d}", "lsh", bkey)
+            for bkey, n in blocks.items() for i in range(n)]
+    return spark.createDataFrame(rows, "clip_id string, source string, bkey long")
+
+
+def _connected(pairs, ids) -> bool:
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {find(i) for i in ids}
+    return len(roots) == 1
+
+
+def test_small_block_full_pairing(spark):
+    m = _members(spark, {1: 5})
+    got = {(r.id_1, r.id_2) for r in pairs_within_blocks(m, CFG).collect()}
+    assert len(got) == 5 * 4 / 2  # all pairs
+    assert all(a < b for a, b in got)
+
+
+def test_hot_block_linear_and_connected(spark):
+    n = 200  # >> cap=8, salt_target=40 -> ~5 salts
+    m = _members(spark, {7: n})
+    rows = pairs_within_blocks(m, CFG).collect()
+    pairs = [(r.id_1, r.id_2) for r in rows]
+    # linear: <= w per member intra-salt + one rep chain, NOT O(n^2)
+    assert len(pairs) <= n * (CFG.hot_block_neighbor_w + 1)
+    assert len(set(pairs)) == len(pairs)  # no duplicate pairs
+    assert all(a < b for a, b in pairs)   # canonical ordering
+    ids = {f"m{7:03d}_{i:05d}" for i in range(n)}
+    assert _connected(pairs, ids)         # CC recall preserved
+
+
+def test_salting_actually_splits(spark):
+    """The hot path must produce >1 salt bucket (i.e. the block is
+    really spread over multiple window partitions)."""
+    n = 200
+    m = _members(spark, {3: n})
+    hot = (m.groupBy("source", "bkey").agg(F.count(F.lit(1)).alias("bsz"))
+           .join(m, ["source", "bkey"])
+           .withColumn("n_salts",
+                       F.ceil(F.col("bsz") / F.lit(CFG.hot_block_salt_target)).cast("int"))
+           .withColumn("salt", F.pmod(F.xxhash64("clip_id"), F.col("n_salts"))))
+    n_salts = hot.select("salt").distinct().count()
+    assert n_salts >= 2
+
+
+def test_mixed_tiers_and_singletons(spark):
+    m = _members(spark, {1: 1, 2: 4, 3: 100})
+    rows = pairs_within_blocks(m, CFG).collect()
+    by_block = {}
+    for r in rows:
+        bkey = int(r.id_1[1:4])
+        by_block.setdefault(bkey, []).append((r.id_1, r.id_2))
+    assert 1 not in by_block                      # singleton: no pairs
+    assert len(by_block[2]) == 6                  # small: full pairing
+    ids3 = {f"m{3:03d}_{i:05d}" for i in range(100)}
+    assert _connected(by_block[3], ids3)          # hot: connected
+    assert len(by_block[3]) <= 100 * (CFG.hot_block_neighbor_w + 1)
+
+
+def test_pair_graph_deterministic(spark):
+    m = _members(spark, {9: 120})
+    a = sorted((r.id_1, r.id_2) for r in pairs_within_blocks(m, CFG).collect())
+    b = sorted((r.id_1, r.id_2) for r in pairs_within_blocks(m, CFG).collect())
+    assert a == b
