@@ -211,6 +211,38 @@ SCALING_DUR = (4000, 12000)
 SCALING_CORES = (2, 8)
 
 
+def _spark_ceiling(lo: int, hi: int) -> dict:
+    """The host's achievable Spark scaling from lo->hi cores on pure
+    vectorized numpy compute (FFT batches via mapInPandas — no I/O, no
+    shuffle, no engine logic). An overcommitted/time-shared VM caps
+    this well below hi/lo; the pipeline cannot scale better than this
+    ceiling, so the artifact reports efficiency both raw (vs ideal
+    hi/lo) and normalized (vs this measured ceiling)."""
+    import numpy as np
+    import pandas as pd
+
+    def heavy(batches):
+        for pdf in batches:
+            acc = 0.0
+            for _ in pdf["id"]:
+                x = np.random.default_rng(0).standard_normal(128_000)
+                acc += float(np.abs(np.fft.rfft(x)).sum())
+            yield pd.DataFrame({"v": [acc]})
+
+    from record_deduplication_spark.session import build_session
+    secs = {}
+    for cores in (lo, hi):
+        spark = build_session(app=f"ceil{cores}", master=f"local[{cores}]",
+                              shuffle_partitions=cores)
+        spark.range(0, 16, 1, cores).mapInPandas(heavy, "v double").count()
+        t0 = time.time()
+        spark.range(0, 480, 1, hi * 2).mapInPandas(heavy, "v double").count()
+        secs[cores] = time.time() - t0
+        spark.stop()
+    return {"sec": {str(c): round(s, 2) for c, s in secs.items()},
+            "speedup": round(secs[lo] / secs[hi], 3)}
+
+
 def _capacity_work(_):
     import time as _t
 
@@ -239,7 +271,7 @@ def measure_capacity(max_procs: int = 32) -> dict:
     return {str(n): round(3 * n * base / wall, 1) for n, wall in out.items()}
 
 
-def scaling(n_clips: int = 6000, reps: int = 3,
+def scaling(n_clips: int = 24000, reps: int = 3,
             cores_pair: tuple[int, int] | None = None) -> None:
     """N->4N scaling evidence (local[2] vs local[8]; see SCALING_CORES).
 
@@ -255,6 +287,8 @@ def scaling(n_clips: int = 6000, reps: int = 3,
                 sharded=True)  # pre-generate outside the timed runs
     capacity = measure_capacity()
     print(json.dumps({"effective_parallel_cores": capacity}), file=sys.stderr)
+    ceiling = _spark_ceiling(lo, hi)
+    print(json.dumps({"spark_ceiling": ceiling}), file=sys.stderr)
     runs: dict[int, list[float]] = {lo: [], hi: []}
     for rep in range(reps):
         for cores in (lo, hi):
@@ -266,7 +300,8 @@ def scaling(n_clips: int = 6000, reps: int = 3,
             runs[cores].append(round(child["clips_per_sec"], 2))
             print(json.dumps({"rep": rep, **child}), file=sys.stderr)
     t_lo, t_hi = max(runs[lo]), max(runs[hi])
-    eff = (t_hi / t_lo) / (hi / lo)
+    speedup = t_hi / t_lo
+    eff = speedup / (hi / lo)
     result = {
         "metric": f"scaling_efficiency_local{lo}_to_local{hi}",
         "n_clips": n_clips,
@@ -274,13 +309,20 @@ def scaling(n_clips: int = 6000, reps: int = 3,
         "throughput_clips_per_sec": {f"local[{lo}]": t_lo, f"local[{hi}]": t_hi},
         "all_reps_clips_per_sec": {f"local[{lo}]": runs[lo], f"local[{hi}]": runs[hi]},
         "aggregation": "best-of-%d interleaved reps (time-shared host)" % reps,
-        "speedup": round(t_hi / t_lo, 3),
+        "speedup": round(speedup, 3),
         "efficiency": round(eff, 3),
+        "host_spark_ceiling": ceiling,
+        "efficiency_vs_host_ceiling": round(speedup / ceiling["speedup"], 3)
+        if ceiling["speedup"] > 0 else None,
         "host_effective_parallel_cores": capacity,
-        "note": ("VM exposes 32 vCPUs but host overcommit caps effective "
-                 "parallel CPU at ~10-11 cores (see sweep); N->4N is "
-                 "therefore evidenced at 2->8 cores, both within real "
-                 "capacity, as on a non-overcommitted cluster."),
+        "note": ("Time-shared VM: 32 advertised vCPUs, measured effective "
+                 "parallel CPU varies (see sweep). N->4N is evidenced at "
+                 f"{lo}->{hi} cores. `host_spark_ceiling` is pure vectorized "
+                 "numpy-in-Spark compute at the same two levels — the "
+                 "maximum speedup THIS HOST allows any workload; "
+                 "`efficiency_vs_host_ceiling` is the engine's scaling "
+                 "relative to that ceiling (what a non-overcommitted "
+                 "cluster would see)."),
     }
     print(json.dumps(result))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -822,6 +822,95 @@ _q("force_split_oversized", _c10, _c10
    .replace("CAST(bucket AS STRING)", "bucket::VARCHAR"))
 
 
+# ---- P1-P4: normalization chains (lowercase, strip leading article,
+#      punctuation -> space, whitespace collapse, digit extraction) ----
+# reference: /root/reference/src/core/preprocess_engine.py:58-105
+_q("normalize_fields",
+   """
+SELECT c_custkey,
+       trim(regexp_replace(
+         regexp_replace(regexp_replace(lower(c_name), '^the ', ''),
+                        '[^a-z0-9 ]', ' '),
+         ' +', ' ')) AS name_norm,
+       regexp_replace(c_name, '[^0-9]', '') AS digits,
+       lower(c_mktsegment) AS segment_norm
+FROM customer ORDER BY c_custkey
+""",
+   """
+SELECT c_custkey,
+       trim(regexp_replace(
+         regexp_replace(regexp_replace(lower(c_name), '^the ', ''),
+                        '[^a-z0-9 ]', ' ', 'g'),
+         ' +', ' ', 'g')) AS name_norm,
+       regexp_replace(c_name, '[^0-9]', '', 'g') AS digits,
+       lower(c_mktsegment) AS segment_norm
+FROM customer ORDER BY c_custkey
+""")
+
+# ---- embedding-cosine near-dup pairs (label-blocked self-join; the
+#      threshold-pair complement of cosine_topk) ----
+_q("embedding_near_dup_pairs",
+   """
+WITH p AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+         round(
+           aggregate(zip_with(a.embedding, b.embedding,
+                              (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                     CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+           / (sqrt(aggregate(transform(a.embedding,
+                                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                             CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+              * sqrt(aggregate(transform(b.embedding,
+                                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                               CAST(0 AS DOUBLE), (acc, v) -> acc + v))), 4) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_1, id_2, cos_sim FROM p WHERE cos_sim >= 0.35 ORDER BY id_1, id_2
+""",
+   """
+WITH p AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 4) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_1, id_2, cos_sim FROM p WHERE cos_sim >= 0.35 ORDER BY id_1, id_2
+""")
+
+# ---- set ops: EXCEPT + INTERSECT (completes B5's union/distinct;
+#      SURVEY.md §2.9 notes the reference has neither) ----
+_ei = """
+SELECT 'except' AS op, count(*) AS n_keys FROM
+  (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'intersect' AS op, count(*) AS n_keys FROM
+  (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+ORDER BY op
+"""
+_q("except_intersect_keys", _ei, _ei)
+
+# ---- G6: cluster-review fan-out (size-bounded groups + deterministic
+#      member sample) ----
+# reference: /root/reference/src/core/openai_cluster_reviewer.py:102-147
+_q("cluster_review_candidates",
+   """
+SELECT lang, source, count(*) AS n_members,
+       array_join(slice(array_sort(collect_list(
+         lpad(CAST(doc_id AS STRING), 8, '0'))), 1, 5), ',') AS sample_members
+FROM documents GROUP BY lang, source
+HAVING count(*) BETWEEN 3 AND 500 ORDER BY lang, source
+""",
+   """
+SELECT lang, source, count(*) AS n_members,
+       array_to_string(list_sort(list(
+         lpad(CAST(doc_id AS VARCHAR), 8, '0')))[1:5], ',') AS sample_members
+FROM documents GROUP BY lang, source
+HAVING count(*) BETWEEN 3 AND 500 ORDER BY lang, source
+""")
+
+
 # --------------------------------------------------------------------------
 # Runners
 # --------------------------------------------------------------------------

@@ -1,0 +1,118 @@
+"""spark-submit entry point for the dedup pipeline.
+
+The north rule requires the pipeline to be "launched via spark-submit
+--py-files on multi-executor clusters" (BASELINE.json:14). This module
+is that launcher:
+
+    python -m record_deduplication_spark.cli --make-pyfiles dist/rds.zip
+    spark-submit --master <cluster> --py-files dist/rds.zip \
+        jobs/run_dedup.py --input s3://.../clips --workdir s3://.../work
+
+Inside spark-submit there is already a SparkSession (or one is created
+honoring the submit-provided master/conf); locally (tests/bench) the
+tuned `build_session` defaults apply. The reference analog is the
+per-stage CLI surface (/root/reference/src/cli/main.py:172-349) — here
+it is one job because stages checkpoint+resume instead of re-reading
+CSVs (SURVEY.md §3.4-3.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import zipfile
+
+
+def parse_config_overrides(pairs: list[str]):
+    """`--set key=value` overrides onto DedupConfig (typed by field)."""
+    from .config import DEFAULT_CONFIG, DedupConfig
+
+    fields = {f.name: f.type for f in dataclasses.fields(DedupConfig)}
+    out = {}
+    for p in pairs:
+        if "=" not in p:
+            raise SystemExit(f"--set expects key=value, got {p!r}")
+        k, v = p.split("=", 1)
+        if k not in fields:
+            raise SystemExit(f"unknown config key {k!r}; valid: {sorted(fields)}")
+        cur = getattr(DEFAULT_CONFIG, k)
+        out[k] = type(cur)(float(v)) if isinstance(cur, (int, float)) else v
+    return dataclasses.replace(DEFAULT_CONFIG, **out)
+
+
+def make_pyfiles_zip(dest: str) -> str:
+    """Package the engine into a --py-files zip (no tests, no caches)."""
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.dirname(pkg_root)
+    os.makedirs(os.path.dirname(os.path.abspath(dest)) or ".", exist_ok=True)
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, dirs, files in os.walk(pkg_root):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, base))
+    return dest
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="record_deduplication_spark",
+        description="PySpark near-duplicate detection + clustering pipeline")
+    ap.add_argument("--input", help="clips parquet path or Iceberg table name")
+    ap.add_argument("--workdir", help="checkpoint/metrics location (path or catalog ns)")
+    ap.add_argument("--resume", action=argparse.BooleanOptionalAction, default=True,
+                    help="reuse completed stage checkpoints (default: on)")
+    ap.add_argument("--set", dest="overrides", action="append", default=[],
+                    metavar="KEY=VALUE", help="DedupConfig override, repeatable")
+    ap.add_argument("--master", default=None,
+                    help="only for local runs; under spark-submit leave unset")
+    ap.add_argument("--json-out", default=None,
+                    help="write run stats JSON to this file (also printed)")
+    ap.add_argument("--make-pyfiles", metavar="DEST.zip",
+                    help="just build the --py-files zip and exit")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.make_pyfiles:
+        print(make_pyfiles_zip(args.make_pyfiles))
+        return 0
+    if not args.input or not args.workdir:
+        raise SystemExit("--input and --workdir are required (or --make-pyfiles)")
+
+    from pyspark.sql import SparkSession
+
+    from .plans.pipeline import DedupPipeline
+    from .session import build_session
+
+    cfg = parse_config_overrides(args.overrides)
+    # under spark-submit an active/configured session context exists;
+    # getOrCreate inherits its master + conf, so build_session's local
+    # defaults only kick in when launched bare (tests, bench).
+    active = SparkSession.getActiveSession()
+    spark = active or build_session(app="dedup_submit", master=args.master)
+
+    reader = spark.read
+    clips = (reader.table(args.input) if "/" not in args.input
+             and not args.input.endswith(".parquet")
+             else reader.parquet(args.input))
+
+    res = DedupPipeline(spark, args.workdir, cfg).run(clips, resume=args.resume)
+    stats = {"config": cfg.to_dict(), **res.stats}
+    line = json.dumps(stats)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+    if active is None:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

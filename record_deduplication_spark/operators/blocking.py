@@ -92,26 +92,31 @@ def pairs_within_blocks(members: DataFrame, cfg: DedupConfig,
     m = (members
          .join(sizes.where(F.col("bsz") > 1), ["source", "bkey"]))
     if materialize:
-        # self-joins evaluate their child once PER SIDE; the member
-        # table is expensive (signature explode) — pin it first (on a
-        # real cluster: persist/checkpoint)
+        # both tiers (and the hot tier's self-joins, once per side)
+        # consume the sized member table; pin it once (on a real
+        # cluster: persist/checkpoint)
         m = m.localCheckpoint(eager=True)
 
     cap, nb = cfg.max_block_full_pairs, cfg.hot_block_neighbor_w
 
     # --- tier 1: small blocks, full pairwise ---
-    small = m.where(F.col("bsz") <= cap)
-    ws = Window.partitionBy("source", "bkey").orderBy("clip_id")
-    small = small.withColumn("rn", F.row_number().over(ws))
-    a, b = small.alias("a"), small.alias("b")
-    full_pairs = (a.join(
-        b,
-        [F.col("a.source") == F.col("b.source"),
-         F.col("a.bkey") == F.col("b.bkey"),
-         F.col("b.rn") > F.col("a.rn")])
-        .select(F.col("a.clip_id").alias("id_1"),
-                F.col("b.clip_id").alias("id_2"),
-                F.col("a.source").alias("source")))
+    # ONE groupBy + a JVM-side array pair-explode. collect_list is
+    # bounded by `cap` members here (hot blocks are excluded), so no
+    # reducer can blow up — this tier never needs a window or a
+    # self-join (the first cut used row_number + self-join: two more
+    # shuffle barriers per run for identical output).
+    small_groups = (m.where(F.col("bsz") <= cap)
+                    .groupBy("source", "bkey")
+                    .agg(F.sort_array(F.collect_list("clip_id")).alias("ids")))
+    pair_expr = F.expr("""
+        flatten(transform(ids, (x, i) ->
+          transform(slice(ids, i + 2, size(ids)),
+                    y -> struct(x AS id_1, y AS id_2))))""")
+    full_pairs = (small_groups
+                  .select("source", F.explode(pair_expr).alias("p"))
+                  .select(F.col("p.id_1").alias("id_1"),
+                          F.col("p.id_2").alias("id_2"),
+                          "source"))
 
     # --- tier 2: hot blocks, salted chains ---
     hot = (m.where(F.col("bsz") > cap)
@@ -121,8 +126,6 @@ def pairs_within_blocks(members: DataFrame, cfg: DedupConfig,
            .withColumn("salt", F.pmod(F.xxhash64("clip_id"), F.col("n_salts"))))
     wh = Window.partitionBy("source", "bkey", "salt").orderBy("clip_id")
     hot = hot.withColumn("rn", F.row_number().over(wh))
-    if materialize:
-        hot = hot.localCheckpoint(eager=True)
     ha, hb = hot.alias("a"), hot.alias("b")
     chain_pairs = (ha.join(
         hb,

@@ -165,6 +165,13 @@ def verify_audio(pending: DataFrame, clips: DataFrame, cfg: DedupConfig) -> Data
         sub = payload.where(F.col("clip_id").isin([r.clip_id for r in id_rows]))
     else:
         sub = payload.join(F.broadcast(ids), "clip_id")
+    # the filtered scan keeps the source's partitioning (hundreds of
+    # mostly-emptied splits when ids are scattered); compact to session
+    # parallelism BEFORE pinning, or every downstream pass over `sub`
+    # pays per-empty-partition task overhead twice (measured: the
+    # checkpoint partition count, not the scan, dominated this stage)
+    n = pre.sparkSession.sparkContext.defaultParallelism
+    sub = sub.repartition(n)
     sub = sub.localCheckpoint(eager=True)  # read twice below; scan clips once
     j = (pre
          .join(sub.select(F.col("clip_id").alias("id_1"), F.col("bytes").alias("bytes_1")), "id_1")

@@ -56,8 +56,12 @@ def build_session(app: str = "record_dedup_spark", master: str | None = None,
          # split parquet scans finer than the 128m default: the
          # signature pass is CPU-bound per byte, so scan-parallelism is
          # worth more than fewer tasks (at 100 TB there are plenty of
-         # files; locally this splits single-file corpora by row group)
-         .config("spark.sql.files.maxPartitionBytes", "16m"))
+         # files; locally this splits single-file corpora by row group).
+         # 64m, not 16m: 16m turned a multi-GB corpus into ~500 splits
+         # whose per-task overhead was re-paid by every pass over the
+         # payload (measured flat scaling in the verify stage); 64m
+         # still yields ~2x-core task counts at bench sizes
+         .config("spark.sql.files.maxPartitionBytes", "64m"))
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -10,10 +10,12 @@ Here each stage is a table under `<base>/<stage>` and the run log is a
 `metrics` table of rows
   (run_id, stage, ts_start, ts_end, rows, duration_s, n_partitions, stats)
 — per-stage lineage including partition counts. On clusters with an
-Iceberg catalog on the classpath the same store writes Iceberg tables
-(`df.writeTo(...)`) for snapshot-based time travel; this container has
-no Iceberg jars, so the parquet directory layout is the default and
-the Iceberg path is gated behind a runtime probe.
+Iceberg catalog on the classpath, pass a dotted namespace
+(`catalog.db`) as `base` and the same store commits Iceberg tables
+(`df.writeTo(...).createOrReplace()` / `.append()`) with
+snapshot-based time travel; this container has no Iceberg jars, so a
+path-shaped `base` selects the parquet directory layout with identical
+resume semantics (both gated behind the runtime probe + base shape).
 
 Resume contract: a stage whose table exists (parquet `_SUCCESS`) is
 read back instead of recomputed — kill/relaunch reproduces identical
@@ -51,34 +53,59 @@ def _iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _looks_like_namespace(base: str) -> bool:
+    """`catalog.db` (dotted, no path separator) = Iceberg namespace;
+    anything path-shaped = parquet directory store."""
+    return os.sep not in base and "/" not in base and "." in base
+
+
 class CheckpointStore:
     def __init__(self, spark: SparkSession, base: str):
         self.spark = spark
         self.base = base
-        os.makedirs(base, exist_ok=True)
-        self.use_iceberg = _iceberg_available(spark)
+        self.use_iceberg = _iceberg_available(spark) and _looks_like_namespace(base)
+        if not self.use_iceberg:
+            os.makedirs(base, exist_ok=True)
         self._pending: list[tuple] = []
 
     # ---- stage tables ----
     def path(self, stage: str) -> str:
+        if self.use_iceberg:
+            return f"{self.base}.{stage}"
         return os.path.join(self.base, stage)
 
     def exists(self, stage: str) -> bool:
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(self.path(stage))
         return os.path.exists(os.path.join(self.path(stage), "_SUCCESS"))
 
     def write(self, stage: str, df: DataFrame) -> DataFrame:
-        df.write.mode("overwrite").parquet(self.path(stage))
+        if self.use_iceberg:
+            # snapshot-commit: atomic replace, time travel via snapshots
+            df.writeTo(self.path(stage)).using("iceberg").createOrReplace()
+        else:
+            df.write.mode("overwrite").parquet(self.path(stage))
         return self.read(stage)
 
     def read(self, stage: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(self.path(stage))
         return self.spark.read.parquet(self.path(stage))
 
     def drop(self, stage: str) -> None:
+        if self.use_iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.path(stage)}")
+            return
         import shutil
         shutil.rmtree(self.path(stage), ignore_errors=True)
 
     # ---- run ids (S8-analog: monotonically increasing) ----
     def next_run_id(self) -> int:
+        if self.use_iceberg:
+            if self.exists("metrics"):
+                prev = self.metrics().agg(F.max("run_id")).collect()[0][0]
+                return int(prev or 0) + 1
+            return 1
         m = self.path("metrics")
         if os.path.exists(m) and os.listdir(m):
             prev = self.spark.read.parquet(m).agg(F.max("run_id")).collect()[0][0]
@@ -103,8 +130,14 @@ class CheckpointStore:
         if not self._pending:
             return
         rows, self._pending = self._pending, []
-        (self.spark.createDataFrame(rows, METRICS_SCHEMA)
-         .coalesce(1).write.mode("append").parquet(self.path("metrics")))
+        df = self.spark.createDataFrame(rows, METRICS_SCHEMA).coalesce(1)
+        if self.use_iceberg:
+            if self.exists("metrics"):
+                df.writeTo(self.path("metrics")).append()
+            else:
+                df.writeTo(self.path("metrics")).using("iceberg").create()
+        else:
+            df.write.mode("append").parquet(self.path("metrics"))
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(self.path("metrics"))
+        return self.read("metrics")

@@ -1,0 +1,69 @@
+"""Launch-contract test: the pipeline runs under real `spark-submit
+--py-files <zip>` (north rule, BASELINE.json:14), with the engine
+delivered ONLY via the zip (cwd stripped from the child's import path).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyspark
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_pyfiles_e2e(tmp_path):
+    from record_deduplication_spark.cli import make_pyfiles_zip
+    from record_deduplication_spark.datagen import write_clips_parquet
+
+    corpus = tmp_path / "corpus"
+    write_clips_parquet(str(corpus), n_clips=120, seed=7,
+                        dur_min_ms=200, dur_max_ms=600)
+    zip_path = make_pyfiles_zip(str(tmp_path / "rds.zip"))
+    with __import__("zipfile").ZipFile(zip_path) as z:
+        names = z.namelist()
+    assert "record_deduplication_spark/plans/pipeline.py" in names
+    assert not any(n.startswith("tests/") for n in names)
+
+    out_json = tmp_path / "stats.json"
+    env = {**os.environ,
+           "PYSPARK_PYTHON": sys.executable,
+           "PYSPARK_DRIVER_PYTHON": sys.executable}
+    # run from tmp_path so the repo checkout is NOT importable: the
+    # driver and executors must get the package from --py-files alone
+    r = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "run_dedup.py"),
+         "--input", str(corpus / "clips.parquet"),
+         "--workdir", str(tmp_path / "work"),
+         "--set", "num_perm=64",
+         "--json-out", str(out_json)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+    stats = json.loads(out_json.read_text())
+    assert stats["n_clips"] == 120
+    assert stats["n_edges"] > 0 and stats["n_clusters"] > 0
+    assert stats["config"]["num_perm"] == 64
+    # stage checkpoints + metrics landed in the workdir
+    work = tmp_path / "work"
+    for stage in ("signed", "candidates", "edges", "clusters"):
+        assert (work / stage).exists()
+
+
+def test_config_overrides_typed():
+    from record_deduplication_spark.cli import parse_config_overrides
+
+    cfg = parse_config_overrides(["jaccard_threshold=0.7", "num_perm=128"])
+    assert cfg.jaccard_threshold == 0.7 and cfg.num_perm == 128
+    with pytest.raises(SystemExit):
+        parse_config_overrides(["not_a_key=1"])
+    with pytest.raises(SystemExit):
+        parse_config_overrides(["malformed"])
