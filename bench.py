@@ -332,7 +332,7 @@ def scaling(n_clips: int = 24000, reps: int = 3,
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
-        n = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 24000
         pair = ((int(sys.argv[3]), int(sys.argv[4]))
                 if len(sys.argv) > 4 else None)
         scaling(n, cores_pair=pair)

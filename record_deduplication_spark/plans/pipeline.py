@@ -58,8 +58,15 @@ class DedupPipeline:
             return df, df.count()
         t0 = time.time()
         df = self.store.write(name, build())
-        rows = df.count()
-        self.store.log(run_id, name, t0, rows, df.rdd.getNumPartitions())
+        # per-partition lineage from commit METADATA (parquet footers /
+        # Iceberg manifests) — no job over the data, skew visible in
+        # the lineage table, and the row count comes for free
+        part_rows = self.store.partition_rows(name)
+        rows = sum(n for _, n in part_rows)
+        self.store.log(run_id, name, t0, rows, len(part_rows),
+                       partition_rows_max=max((n for _, n in part_rows), default=0),
+                       partition_rows_min=min((n for _, n in part_rows), default=0))
+        self.store.log_partitions(run_id, name, part_rows)
         return df, rows
 
     def run(self, clips: DataFrame, resume: bool = True) -> PipelineResult:

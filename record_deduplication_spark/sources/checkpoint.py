@@ -43,6 +43,13 @@ METRICS_SCHEMA = T.StructType([
     T.StructField("stats", T.StringType()),  # free-form JSON
 ])
 
+LINEAGE_SCHEMA = T.StructType([
+    T.StructField("run_id", T.LongType()),
+    T.StructField("stage", T.StringType()),
+    T.StructField("partition_id", T.IntegerType()),
+    T.StructField("rows", T.LongType()),
+])
+
 
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
@@ -67,6 +74,7 @@ class CheckpointStore:
         if not self.use_iceberg:
             os.makedirs(base, exist_ok=True)
         self._pending: list[tuple] = []
+        self._pending_lineage: list[tuple] = []
 
     # ---- stage tables ----
     def path(self, stage: str) -> str:
@@ -126,18 +134,56 @@ class CheckpointStore:
                               int(rows), float(ts_end - ts_start),
                               int(n_partitions), json.dumps(stats, sort_keys=True)))
 
-    def flush(self) -> None:
-        if not self._pending:
-            return
-        rows, self._pending = self._pending, []
-        df = self.spark.createDataFrame(rows, METRICS_SCHEMA).coalesce(1)
+    def partition_rows(self, stage: str) -> list[tuple[int, int]]:
+        """(partition_id, rows) of a committed stage table, read from
+        metadata only — NO Spark job over the data:
+
+        * parquet mode: part-file footers via pyarrow (one committed
+          file = one partition);
+        * Iceberg mode: the table's `.files` metadata table, which
+          records record_count per data file in the manifests.
+        """
         if self.use_iceberg:
-            if self.exists("metrics"):
-                df.writeTo(self.path("metrics")).append()
+            rows = (self.spark.read.table(f"{self.path(stage)}.files")
+                    .select("file_path", "record_count")
+                    .orderBy("file_path").collect())
+            return [(i, int(r.record_count)) for i, r in enumerate(rows)]
+        import pyarrow.parquet as pq
+        d = self.path(stage)
+        files = sorted(f for f in os.listdir(d)
+                       if f.startswith("part-") and f.endswith(".parquet"))
+        return [(i, pq.ParquetFile(os.path.join(d, f)).metadata.num_rows)
+                for i, f in enumerate(files)]
+
+    def log_partitions(self, run_id: int, stage: str,
+                       part_rows: list[tuple[int, int]]) -> None:
+        """Per-partition lineage rows -> the `lineage` table."""
+        self._pending_lineage.extend(
+            (run_id, stage, int(pid), int(n)) for pid, n in part_rows)
+
+    def _flush_table(self, name: str, df) -> None:
+        if self.use_iceberg:
+            if self.exists(name):
+                df.writeTo(self.path(name)).append()
             else:
-                df.writeTo(self.path("metrics")).using("iceberg").create()
+                df.writeTo(self.path(name)).using("iceberg").create()
         else:
-            df.write.mode("append").parquet(self.path("metrics"))
+            df.write.mode("append").parquet(self.path(name))
+
+    def flush(self) -> None:
+        if self._pending:
+            rows, self._pending = self._pending, []
+            self._flush_table(
+                "metrics",
+                self.spark.createDataFrame(rows, METRICS_SCHEMA).coalesce(1))
+        if self._pending_lineage:
+            rows, self._pending_lineage = self._pending_lineage, []
+            self._flush_table(
+                "lineage",
+                self.spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1))
 
     def metrics(self) -> DataFrame:
         return self.read("metrics")
+
+    def lineage(self) -> DataFrame:
+        return self.read("lineage")
