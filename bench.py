@@ -211,13 +211,22 @@ SCALING_DUR = (4000, 12000)
 SCALING_CORES = (2, 8)
 
 
-def _spark_ceiling(lo: int, hi: int) -> dict:
-    """The host's achievable Spark scaling from lo->hi cores on pure
-    vectorized numpy compute (FFT batches via mapInPandas — no I/O, no
-    shuffle, no engine logic). An overcommitted/time-shared VM caps
-    this well below hi/lo; the pipeline cannot scale better than this
-    ceiling, so the artifact reports efficiency both raw (vs ideal
-    hi/lo) and normalized (vs this measured ceiling)."""
+def _taskset(cores: int) -> list[str]:
+    """Pin a child to exactly `cores` CPUs. Without pinning, a
+    local[2] JVM soaks up far more than 2 host cores (GC, shuffle and
+    netty threads, Python workers overlapping I/O) — inflating the
+    low-parallelism baseline and making 'N vs 4N cores' a fiction. A
+    real cluster executor has dedicated cores; taskset is the sandbox
+    analog."""
+    import shutil as _sh
+    if _sh.which("taskset"):
+        return ["taskset", "-c", f"0-{cores - 1}"]
+    return []
+
+
+def _ceiling_child(cores: int) -> None:
+    """Pure vectorized numpy FFT batches via mapInPandas at one
+    parallelism level (pinned by the parent); prints one JSON line."""
     import numpy as np
     import pandas as pd
 
@@ -230,15 +239,29 @@ def _spark_ceiling(lo: int, hi: int) -> dict:
             yield pd.DataFrame({"v": [acc]})
 
     from record_deduplication_spark.session import build_session
+    spark = build_session(app=f"ceil{cores}", master=f"local[{cores}]",
+                          shuffle_partitions=cores)
+    spark.range(0, 16, 1, cores).mapInPandas(heavy, "v double").count()
+    t0 = time.time()
+    spark.range(0, 480, 1, 32).mapInPandas(heavy, "v double").count()
+    print(json.dumps({"cores": cores, "sec": round(time.time() - t0, 3)}))
+    spark.stop()
+
+
+def _spark_ceiling(lo: int, hi: int) -> dict:
+    """The host's achievable Spark scaling from lo->hi PINNED cores on
+    pure vectorized numpy compute (no I/O, no shuffle, no engine
+    logic). A time-shared VM caps this below hi/lo; the pipeline
+    cannot scale better than this ceiling, so the artifact reports
+    efficiency both raw (vs ideal hi/lo) and normalized (vs this
+    measured ceiling)."""
     secs = {}
     for cores in (lo, hi):
-        spark = build_session(app=f"ceil{cores}", master=f"local[{cores}]",
-                              shuffle_partitions=cores)
-        spark.range(0, 16, 1, cores).mapInPandas(heavy, "v double").count()
-        t0 = time.time()
-        spark.range(0, 480, 1, hi * 2).mapInPandas(heavy, "v double").count()
-        secs[cores] = time.time() - t0
-        spark.stop()
+        r = subprocess.run(
+            _taskset(cores) + [sys.executable, __file__, "--ceiling-child", str(cores)],
+            capture_output=True, text=True, check=True)
+        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+        secs[cores] = json.loads(line)["sec"]
     return {"sec": {str(c): round(s, 2) for c, s in secs.items()},
             "speedup": round(secs[lo] / secs[hi], 3)}
 
@@ -287,18 +310,28 @@ def scaling(n_clips: int = 24000, reps: int = 3,
                 sharded=True)  # pre-generate outside the timed runs
     capacity = measure_capacity()
     print(json.dumps({"effective_parallel_cores": capacity}), file=sys.stderr)
-    ceiling = _spark_ceiling(lo, hi)
-    print(json.dumps({"spark_ceiling": ceiling}), file=sys.stderr)
+    ceiling_pre = _spark_ceiling(lo, hi)
+    print(json.dumps({"spark_ceiling_pre": ceiling_pre}), file=sys.stderr)
     runs: dict[int, list[float]] = {lo: [], hi: []}
     for rep in range(reps):
         for cores in (lo, hi):
             r = subprocess.run(
-                [sys.executable, __file__, "--scaling-child", str(cores), str(n_clips)],
+                _taskset(cores) + [sys.executable, __file__,
+                                   "--scaling-child", str(cores), str(n_clips)],
                 capture_output=True, text=True, check=True)
             line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
             child = json.loads(line)
             runs[cores].append(round(child["clips_per_sec"], 2))
             print(json.dumps({"rep": rep, **child}), file=sys.stderr)
+    # ceiling sampled before AND after the reps: host load drifts over
+    # the run; per-level best-of-both mirrors the best-of-reps rule
+    ceiling_post = _spark_ceiling(lo, hi)
+    print(json.dumps({"spark_ceiling_post": ceiling_post}), file=sys.stderr)
+    best_sec = {str(c): min(ceiling_pre["sec"][str(c)], ceiling_post["sec"][str(c)])
+                for c in (lo, hi)}
+    ceiling = {"sec": best_sec,
+               "speedup": round(best_sec[str(lo)] / best_sec[str(hi)], 3),
+               "samples": {"pre": ceiling_pre, "post": ceiling_post}}
     t_lo, t_hi = max(runs[lo]), max(runs[hi])
     speedup = t_hi / t_lo
     eff = speedup / (hi / lo)
@@ -317,12 +350,15 @@ def scaling(n_clips: int = 24000, reps: int = 3,
         "host_effective_parallel_cores": capacity,
         "note": ("Time-shared VM: 32 advertised vCPUs, measured effective "
                  "parallel CPU varies (see sweep). N->4N is evidenced at "
-                 f"{lo}->{hi} cores. `host_spark_ceiling` is pure vectorized "
-                 "numpy-in-Spark compute at the same two levels — the "
-                 "maximum speedup THIS HOST allows any workload; "
-                 "`efficiency_vs_host_ceiling` is the engine's scaling "
-                 "relative to that ceiling (what a non-overcommitted "
-                 "cluster would see)."),
+                 f"{lo}->{hi} cores, each child PINNED to exactly that many "
+                 "CPUs via taskset (unpinned, a local[2] JVM uses >2 host "
+                 "cores, inflating the baseline). `host_spark_ceiling` is "
+                 "pure vectorized numpy-in-Spark compute at the same two "
+                 "pinned levels, sampled before and after the reps "
+                 "(best-of) — the maximum speedup THIS HOST allows any "
+                 "workload; `efficiency_vs_host_ceiling` is the engine's "
+                 "scaling relative to that ceiling (what a "
+                 "non-overcommitted cluster would see)."),
     }
     print(json.dumps(result))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -338,5 +374,7 @@ if __name__ == "__main__":
         scaling(n, cores_pair=pair)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         _scaling_child(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ceiling-child":
+        _ceiling_child(int(sys.argv[2]))
     else:
         main()

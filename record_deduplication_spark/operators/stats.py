@@ -84,6 +84,43 @@ def unique_records(all_ids: DataFrame, clusters: DataFrame) -> DataFrame:
     return noise.unionByName(survivors)
 
 
+def calibrate_threshold(scored_pairs: DataFrame, score_col: str = "jaccard",
+                        quantile: float = 0.6, sample_frac: float = 0.1,
+                        floor: float | None = None, ceil: float | None = None,
+                        seed: int = 42) -> float:
+    """C5-analog: data-driven similarity threshold from sampled pair-
+    score quantiles (the reference derives adaptive DBSCAN eps from
+    k-NN distance percentiles on a sample —
+    /root/reference/src/core/clustering/adaptive_eps.py:19-179; our
+    geometry-free analog calibrates the verify threshold the same way:
+    sample -> percentile_approx -> clamp)."""
+    sampled = scored_pairs.where(F.col(score_col).isNotNull())
+    if sample_frac < 1.0:
+        sampled = sampled.sample(fraction=sample_frac, seed=seed)
+    row = sampled.agg(
+        F.percentile_approx(score_col, quantile).alias("q")).collect()[0]
+    t = float(row.q) if row.q is not None else (floor or 0.0)
+    if floor is not None:
+        t = max(t, floor)
+    if ceil is not None:
+        t = min(t, ceil)
+    return t
+
+
+def expand_pairs(pairs: DataFrame, records: DataFrame,
+                 id_col: str = "clip_id",
+                 context_cols: tuple[str, ...] = ("transcript",)) -> DataFrame:
+    """R1-analog pair detail expansion: attach both records' context
+    columns with _1/_2 suffixes (two hash joins; the reference does a
+    positional pandas concat —
+    /root/reference/src/core/reporting_engine.py:92-101)."""
+    def side(n: int) -> DataFrame:
+        cols = [F.col(id_col).alias(f"id_{n}")]
+        cols += [F.col(c).alias(f"{c}_{n}") for c in context_cols]
+        return records.select(*cols)
+    return pairs.join(side(1), "id_1").join(side(2), "id_2")
+
+
 def subdivide_oversized(clusters: DataFrame, max_size: int,
                         salt_buckets: int | None = None) -> DataFrame:
     """C6/C10-analog guaranteed-progress control of max cluster size:

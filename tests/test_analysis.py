@@ -112,3 +112,32 @@ def test_cluster_stats_ops(spark):
     c0 = sub[sub.cluster_key.str.startswith("0_")]
     assert len(c0) == 3 and c0["cluster_key"].nunique() >= 2  # split happened
     assert set(sub[sub.cluster_key == "-1"]["clip_id"]) == {"f", "g"}
+
+
+def test_calibrate_threshold(spark):
+    from record_deduplication_spark.operators.stats import calibrate_threshold
+    pairs = spark.createDataFrame(
+        [(f"a{i}", f"b{i}", i / 100.0) for i in range(100)],
+        "id_1 string, id_2 string, jaccard double")
+    t = calibrate_threshold(pairs, quantile=0.5, sample_frac=1.0)
+    assert 0.4 <= t <= 0.6
+    assert calibrate_threshold(pairs, quantile=0.5, sample_frac=1.0,
+                               floor=0.8) == 0.8
+    assert calibrate_threshold(pairs, quantile=0.99, sample_frac=1.0,
+                               ceil=0.7) == 0.7
+    # deterministic under the same seed
+    assert (calibrate_threshold(pairs, sample_frac=0.5, seed=7)
+            == calibrate_threshold(pairs, sample_frac=0.5, seed=7))
+
+
+def test_expand_pairs_both_sides(spark):
+    from record_deduplication_spark.operators.stats import expand_pairs
+    pairs = spark.createDataFrame([("a", "b"), ("a", "c")], "id_1 string, id_2 string")
+    recs = spark.createDataFrame(
+        [("a", "ta", 1), ("b", "tb", 2), ("c", "tc", 3)],
+        "clip_id string, transcript string, dur_ms int")
+    out = expand_pairs(pairs, recs, context_cols=("transcript", "dur_ms")).toPandas()
+    assert sorted(out.columns) == sorted(
+        ["id_1", "id_2", "transcript_1", "dur_ms_1", "transcript_2", "dur_ms_2"])
+    row = out[out.id_2 == "b"].iloc[0]
+    assert row.transcript_1 == "ta" and row.transcript_2 == "tb"
