@@ -315,10 +315,23 @@ def scaling(n_clips: int = 24000, reps: int = 3,
     runs: dict[int, list[float]] = {lo: [], hi: []}
     for rep in range(reps):
         for cores in (lo, hi):
-            r = subprocess.run(
-                _taskset(cores) + [sys.executable, __file__,
-                                   "--scaling-child", str(cores), str(n_clips)],
-                capture_output=True, text=True, check=True)
+            for attempt in (1, 2):  # a transient child failure (host
+                # pressure, JVM startup) must not void a 30-min run
+                r = subprocess.run(
+                    _taskset(cores) + [sys.executable, __file__,
+                                       "--scaling-child", str(cores), str(n_clips)],
+                    capture_output=True, text=True,
+                    # larger corpora pin multi-GB survivor payloads in
+                    # executor storage during audio verify; 16g default
+                    # heap is borderline at 8 concurrent tasks
+                    env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "40g"})
+                if r.returncode == 0:
+                    break
+                print(json.dumps({"rep": rep, "cores": cores,
+                                  "attempt": attempt, "failed": True,
+                                  "stderr_tail": r.stderr[-500:]}), file=sys.stderr)
+            else:
+                continue  # both attempts failed: skip this rep slot
             line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
             child = json.loads(line)
             runs[cores].append(round(child["clips_per_sec"], 2))
@@ -327,6 +340,10 @@ def scaling(n_clips: int = 24000, reps: int = 3,
     # the run; per-level best-of-both mirrors the best-of-reps rule
     ceiling_post = _spark_ceiling(lo, hi)
     print(json.dumps({"spark_ceiling_post": ceiling_post}), file=sys.stderr)
+    if not runs[lo] or not runs[hi]:
+        raise SystemExit(
+            f"scaling: no successful reps at some level: "
+            f"{ {k: len(v) for k, v in runs.items()} }")
     best_sec = {str(c): min(ceiling_pre["sec"][str(c)], ceiling_post["sec"][str(c)])
                 for c in (lo, hi)}
     ceiling = {"sec": best_sec,

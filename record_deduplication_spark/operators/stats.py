@@ -84,6 +84,82 @@ def unique_records(all_ids: DataFrame, clusters: DataFrame) -> DataFrame:
     return noise.unionByName(survivors)
 
 
+def subdivide_kmeans(clusters: DataFrame, features: DataFrame,
+                     max_size: int, feature_col: str = "embedding",
+                     seed: int = 42) -> DataFrame:
+    """C7-analog: re-cluster each oversized cluster's members with
+    spark.ml KMeans (k = ceil(size / max_size)) over a per-record
+    feature vector — the reference's FastKMeans subdivision strategy
+    (/root/reference/src/core/clustering/hierarchical/subdivision_engine_v3.py:264-354,
+    fit-on-sample there; spark.ml KMeans is already distributed so we
+    fit on all members). Driver loop over oversized clusters = the C6
+    while-loop-of-jobs shape. Returns (clip_id, cluster_key) where
+    subdivided members get "<cluster_id>_k<bucket>" keys.
+
+    `features`: (clip_id, <feature_col>: array<numeric>). Records
+    without features keep their cluster."""
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sizes = (clusters.where(F.col("cluster_id") >= 0)
+             .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size")))
+    oversized = [(int(r.cluster_id), int(r.size))
+                 for r in sizes.where(F.col("size") > max_size).collect()]
+    out = clusters.select(
+        "clip_id", F.col("cluster_id").cast("string").alias("cluster_key"))
+    if not oversized:
+        return out
+    feats = features.select(
+        "clip_id",
+        array_to_vector(F.col(feature_col).cast("array<double>")).alias("fv"))
+    for cid, size in oversized:
+        members = (clusters.where(F.col("cluster_id") == cid)
+                   .select("clip_id").join(feats, "clip_id"))
+        k = min(math.ceil(size / max_size), size)
+        km = KMeans(k=k, seed=seed, featuresCol="fv", predictionCol="bucket",
+                    initMode="k-means||", maxIter=20)
+        pred = km.fit(members).transform(members)
+        sub = pred.select(
+            "clip_id",
+            F.concat_ws("_k", F.lit(str(cid)), F.col("bucket")).alias("new_key"))
+        out = (out.join(sub, "clip_id", "left")
+               .select("clip_id",
+                       F.coalesce("new_key", "cluster_key").alias("cluster_key")))
+    return out
+
+
+def validate_connectivity(edges: DataFrame, clusters: DataFrame) -> int:
+    """C12-analog: number of dup edges whose endpoints landed in
+    different clusters — MUST be 0 for connected-components output
+    (the reference needs a sampled repair loop for this,
+    /root/reference/src/core/clustering/connectivity_manager.py:18-173;
+    CC makes it a free invariant, kept as a validation metric)."""
+    assign = clusters.select("clip_id", "cluster_id")
+    j = (edges.select("id_1", "id_2")
+         .join(assign.select(F.col("clip_id").alias("id_1"),
+                             F.col("cluster_id").alias("c1")), "id_1")
+         .join(assign.select(F.col("clip_id").alias("id_2"),
+                             F.col("cluster_id").alias("c2")), "id_2"))
+    return j.where(F.col("c1") != F.col("c2")).count()
+
+
+def map_distinct(df: DataFrame, col: str, fn, out_col: str | None = None) -> DataFrame:
+    """P9-pattern: apply an arbitrary (driver-side, possibly external)
+    function per DISTINCT value of a column, then broadcast the mapping
+    back — the reference calls an external API once per unique company
+    name this way (/root/reference/src/core/preprocess_engine.py:158-167,
+    /root/reference/src/core/openai_translator.py:20-77). Cost is
+    O(distinct values) driver calls, never O(rows)."""
+    out_col = out_col or f"{col}_mapped"
+    spark = df.sparkSession
+    vals = [r[0] for r in df.select(col).distinct().collect()]
+    mapping = [(v, fn(v)) for v in vals]
+    mdf = spark.createDataFrame(mapping, f"{col} string, {out_col} string")
+    return df.join(F.broadcast(mdf), col, "left")
+
+
 def calibrate_threshold(scored_pairs: DataFrame, score_col: str = "jaccard",
                         quantile: float = 0.6, sample_frac: float = 0.1,
                         floor: float | None = None, ceil: float | None = None,

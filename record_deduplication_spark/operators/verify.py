@@ -40,8 +40,13 @@ from ..functions.suffix_array import longest_common_run
 
 # survivor-id count up to which the audio payload fetch uses a
 # collected isin() predicate (parquet scan pruning) instead of a
-# broadcast semi-join (full scan); see verify_audio
-_IDS_PUSHDOWN_MAX = 10_000
+# broadcast semi-join (full scan); see verify_audio.
+# Capped at 1k: codegen splits a giant In-predicate into thousands of
+# chained helper methods and the task thread overflows its stack
+# (observed as flaky scala.MatchError(StackOverflowError) at ~5-10k
+# literals); above the cap the broadcast path costs a full scan but
+# never a crash.
+_IDS_PUSHDOWN_MAX = 1_000
 
 
 def jaccard_udf(cfg: DedupConfig):

@@ -46,8 +46,13 @@ def build_session(app: str = "record_dedup_spark", master: str | None = None,
          .config("spark.sql.parquet.columnarReaderBatchSize", "64")
          # 32 MB G1 regions raise the humongous-allocation threshold to
          # 16 MB so the (bounded) columnar/Arrow batches above allocate
-         # on the normal fast path.
-         .config("spark.driver.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
+         # on the normal fast path. -Xss16m: codegen'd predicate
+         # evaluation (split into chained helper methods) can nest
+         # thousands of frames; local-mode task threads inherit this
+         # default (set spark.executor.extraJavaOptions too on a real
+         # cluster).
+         .config("spark.driver.extraJavaOptions",
+                 "-XX:G1HeapRegionSize=32m -Xss16m")
          # above the default threshold (10) an In-predicate is pushed to
          # parquet only as a [min,max] range — useless for scattered
          # clip_ids. The audio payload fetch relies on a real In filter

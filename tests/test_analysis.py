@@ -141,3 +141,64 @@ def test_expand_pairs_both_sides(spark):
         ["id_1", "id_2", "transcript_1", "dur_ms_1", "transcript_2", "dur_ms_2"])
     row = out[out.id_2 == "b"].iloc[0]
     assert row.transcript_1 == "ta" and row.transcript_2 == "tb"
+
+
+def test_validate_connectivity_zero_for_cc_output(spark):
+    from record_deduplication_spark.operators.stats import validate_connectivity
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_1 string, id_2 string")
+    good = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0), ("x", 1), ("y", 1)],
+        "clip_id string, cluster_id int")
+    assert validate_connectivity(edges, good) == 0
+    bad = spark.createDataFrame(
+        [("a", 0), ("b", 2), ("c", 0), ("x", 1), ("y", 1)],
+        "clip_id string, cluster_id int")
+    assert validate_connectivity(edges, bad) == 2  # a-b and b-c split
+
+
+def test_map_distinct_calls_fn_once_per_value(spark):
+    from record_deduplication_spark.operators.stats import map_distinct
+    calls = []
+
+    def fn(v):
+        calls.append(v)
+        return v.upper()
+
+    df = spark.createDataFrame(
+        [("x", 1), ("y", 2), ("x", 3)], "name string, n int")
+    out = map_distinct(df, "name", fn).toPandas()
+    assert sorted(calls) == ["x", "y"]          # once per DISTINCT value
+    assert set(out["name_mapped"]) == {"X", "Y"}
+    assert len(out) == 3                        # all rows kept
+
+
+def test_subdivide_kmeans_splits_blobs(spark):
+    import numpy as np
+    from record_deduplication_spark.operators.stats import subdivide_kmeans
+    rng = np.random.default_rng(3)
+    rows, frows = [], []
+    # cluster 0: oversized (20 members) made of two well-separated blobs
+    for i in range(20):
+        center = [10.0, 10.0] if i < 10 else [-10.0, -10.0]
+        rows.append((f"c{i:02d}", 0))
+        frows.append((f"c{i:02d}", [float(center[0] + rng.normal(0, .1)),
+                                    float(center[1] + rng.normal(0, .1))]))
+    # cluster 1: small, untouched
+    for i in range(3):
+        rows.append((f"s{i}", 1))
+        frows.append((f"s{i}", [0.0, 0.0]))
+    rows.append(("n0", -1))
+    frows.append(("n0", [0.0, 0.0]))
+    clusters = spark.createDataFrame(rows, "clip_id string, cluster_id int")
+    feats = spark.createDataFrame(frows, "clip_id string, embedding array<double>")
+    out = subdivide_kmeans(clusters, feats, max_size=10).toPandas()
+    big = out[out.clip_id.str.startswith("c")]
+    assert set(big.cluster_key.str.split("_k").str[0]) == {"0"}
+    assert big.cluster_key.nunique() == 2            # split into 2 buckets
+    # the split follows the blobs
+    blob_a = set(big[big.clip_id < "c10"].cluster_key)
+    blob_b = set(big[big.clip_id >= "c10"].cluster_key)
+    assert blob_a.isdisjoint(blob_b)
+    assert set(out[out.clip_id.str.startswith("s")].cluster_key) == {"1"}
+    assert out[out.clip_id == "n0"].cluster_key.iloc[0] == "-1"
