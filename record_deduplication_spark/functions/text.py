@@ -67,3 +67,50 @@ def jaccard(a: set[str], b: set[str]) -> float:
     inter = len(a & b)
     union = len(a) + len(b) - inter
     return inter / union if union else 0.0
+
+
+def jaro(a: str, b: str) -> float:
+    """Jaro similarity in [0, 1] (F1 kernel; the reference scores
+    company names with recordlinkage's jarowinkler —
+    /root/reference/src/core/similarity_engine.py:76-78)."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    match_a = [False] * la
+    match_b = [False] * lb
+    m = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ca:
+                match_a[i] = match_b[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    """Jaro-Winkler: Jaro boosted by shared prefix (standard p=0.1)."""
+    sim = jaro(a, b)
+    prefix = 0
+    for ca, cb in zip(a[:max_prefix], b[:max_prefix]):
+        if ca != cb:
+            break
+        prefix += 1
+    return sim + prefix * p * (1.0 - sim)

@@ -63,6 +63,18 @@ def jaccard_udf(cfg: DedupConfig):
     return _jac
 
 
+def jaro_winkler_udf():
+    """F1: Jaro-Winkler string similarity as an Arrow-vectorized UDF
+    (reference: recordlinkage jarowinkler over company names,
+    /root/reference/src/core/similarity_engine.py:76-78)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([X.jaro_winkler(x or "", y or "")
+                          for x, y in zip(a, b)], dtype="float64")
+    return _jw
+
+
 def common_run_udf(cfg: DedupConfig):
     """Longest shared contiguous token run, via generalized suffix array."""
 

@@ -202,3 +202,14 @@ def test_subdivide_kmeans_splits_blobs(spark):
     assert blob_a.isdisjoint(blob_b)
     assert set(out[out.clip_id.str.startswith("s")].cluster_key) == {"1"}
     assert out[out.clip_id == "n0"].cluster_key.iloc[0] == "-1"
+
+
+def test_jaro_winkler_udf(spark):
+    from record_deduplication_spark.operators.verify import jaro_winkler_udf
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), (None, "x")],
+        "a string, b string")
+    got = [r.s for r in df.select(
+        F.round(jaro_winkler_udf()(F.col("a"), F.col("b")), 6).alias("s")).collect()]
+    assert got == [0.961111, 0.813333, 0.0]

@@ -153,3 +153,15 @@ def test_longest_common_run():
     assert longest_common_run(a, ["zebra"]) == 0
     assert longest_common_run([], a) == 0
     assert longest_common_run(a, a) == len(a)
+
+
+def test_jaro_winkler_golden():
+    """Classic textbook values (Winkler 1990)."""
+    from record_deduplication_spark.functions.text import jaro, jaro_winkler
+    assert jaro("MARTHA", "MARHTA") == pytest.approx(0.944444, abs=1e-6)
+    assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.961111, abs=1e-6)
+    assert jaro("DIXON", "DICKSONX") == pytest.approx(0.766667, abs=1e-6)
+    assert jaro_winkler("DIXON", "DICKSONX") == pytest.approx(0.813333, abs=1e-6)
+    assert jaro_winkler("", "x") == 0.0
+    assert jaro_winkler("same", "same") == 1.0
+    assert 0.0 <= jaro_winkler("abc", "xyz") <= 1.0
