@@ -415,7 +415,8 @@ if __name__ == "__main__":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 24000
         pair = ((int(sys.argv[3]), int(sys.argv[4]))
                 if len(sys.argv) > 4 else None)
-        scaling(n, cores_pair=pair)
+        scaling(n, reps=int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")),
+                cores_pair=pair)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         _scaling_child(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--ceiling-child":
