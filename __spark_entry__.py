@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
     comps = connected_components(edges, DEFAULT_CONFIG)
     clusters = assign_clusters(
         docs.select(F.col("doc_id").cast("string").alias("clip_id")), comps,
-        DEFAULT_CONFIG)
+        DEFAULT_CONFIG, densify=True)
     return (clusters
             .select(F.col("clip_id").cast("long").alias("doc_id"),
                     F.col("cluster_id").cast("long").alias("cluster_id"))

@@ -257,9 +257,19 @@ def _spark_ceiling(lo: int, hi: int) -> dict:
     measured ceiling)."""
     secs = {}
     for cores in (lo, hi):
-        r = subprocess.run(
-            _taskset(cores) + [sys.executable, __file__, "--ceiling-child", str(cores)],
-            capture_output=True, text=True, check=True)
+        for attempt in (1, 2):  # same retry-or-skip treatment as the
+            # scaling children: a transient JVM failure in a ceiling
+            # sample must not abort a 30-min run's measurements
+            r = subprocess.run(
+                _taskset(cores) + [sys.executable, __file__, "--ceiling-child", str(cores)],
+                capture_output=True, text=True)
+            if r.returncode == 0:
+                break
+            print(json.dumps({"ceiling_cores": cores, "attempt": attempt,
+                              "failed": True, "stderr_tail": r.stderr[-500:]}),
+                  file=sys.stderr)
+        else:
+            return None  # caller falls back to the other sample
         line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
         secs[cores] = json.loads(line)["sec"]
     return {"sec": {str(c): round(s, 2) for c, s in secs.items()},
@@ -343,7 +353,10 @@ def scaling(n_clips: int = 24000, reps: int = 3,
         raise SystemExit(
             f"scaling: no successful reps at some level: "
             f"{ {k: len(v) for k, v in runs.items()} }")
-    best_sec = {str(c): min(ceiling_pre["sec"][str(c)], ceiling_post["sec"][str(c)])
+    samples = [s for s in (ceiling_pre, ceiling_post) if s is not None]
+    if not samples:
+        raise SystemExit("scaling: both ceiling samples failed twice")
+    best_sec = {str(c): min(s["sec"][str(c)] for s in samples)
                 for c in (lo, hi)}
     ceiling = {"sec": best_sec,
                "speedup": round(best_sec[str(lo)] / best_sec[str(hi)], 3),

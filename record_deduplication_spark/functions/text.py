@@ -105,9 +105,18 @@ def jaro(a: str, b: str) -> float:
     return (m / la + m / lb + (m - t) / m) / 3.0
 
 
-def jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
-    """Jaro-Winkler: Jaro boosted by shared prefix (standard p=0.1)."""
+def jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4,
+                 boost_threshold: float = 0.7) -> float:
+    """Jaro-Winkler: Jaro boosted by shared prefix (standard p=0.1).
+
+    The prefix boost applies only when jaro(a, b) >= boost_threshold
+    (Winkler's 0.7 rule — matches jellyfish/recordlinkage, which is
+    what the reference scores with at
+    /root/reference/src/core/similarity_engine.py:76-78; boosting
+    low-similarity pairs would shift threshold comparability)."""
     sim = jaro(a, b)
+    if sim < boost_threshold:
+        return sim
     prefix = 0
     for ca, cb in zip(a[:max_prefix], b[:max_prefix]):
         if ca != cb:

@@ -138,24 +138,49 @@ def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) ->
 
 
 def assign_clusters(all_ids: DataFrame, components: DataFrame,
-                    cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+                    cfg: DedupConfig = DEFAULT_CONFIG,
+                    densify: bool = False) -> DataFrame:
     """Left-join components onto the full id table (C15-analog,
-    /root/reference/src/core/clustering_engine.py:553-570) and densify
-    component representatives to integer cluster ids; vertices in no
-    dup edge get the noise label (-1 convention,
-    /root/reference/src/core/clustering_engine.py:527-529).
+    /root/reference/src/core/clustering_engine.py:553-570).
 
-    Scale note: densification uses a global-window dense_rank over the
-    DISTINCT component representatives — a reporting convenience that
-    single-partitions only the component list, never the clip table.
-    At extreme component counts keep the string representative as the
-    cluster identity instead (the pipeline's internal contract)."""
-    comp_ids = (components.select("component").distinct()
-                .select("component",
-                        (F.dense_rank().over(Window.orderBy("component")) - 1)
-                        .alias("cluster_id")))
-    return (all_ids.select("clip_id")
-            .join(components, "clip_id", "left")
-            .join(comp_ids, "component", "left")
+    Default contract (the scale path): ``cluster_id`` is the STRING
+    component representative (lexicographic-min member id — already
+    deterministic and canonical); vertices in no dup edge (noise,
+    reference -1 convention at clustering_engine.py:527-529) get NULL.
+    No global ordering anywhere in the plan.
+
+    ``densify=True`` (reporting opt-in): dense LongType ids 0..k-1 and
+    noise label ``cfg.noise_label``, assigned by two-phase
+    partition-offset numbering — row_number within hash partitions of
+    the distinct representative list plus collected per-partition
+    offsets (one tiny collect of #partitions rows). No single-partition
+    global window at any component count."""
+    assigned = (all_ids.select("clip_id")
+                .join(components, "clip_id", "left")
+                .withColumnRenamed("component", "cluster_id"))
+    if not densify:
+        return assigned
+
+    spark = all_ids.sparkSession
+    n = max(spark.sparkContext.defaultParallelism, 1)
+    reps = (components.select("component").distinct()
+            .repartition(n, "component")
+            .withColumn("pid", F.spark_partition_id()))
+    sizes = {int(r.pid): int(r.c)
+             for r in reps.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "pid int, offset long")
+    comp_ids = (reps.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("pid").orderBy("component")) - 1)
+        .join(F.broadcast(off_df), "pid")
+        .select("component", (F.col("rn") + F.col("offset")).alias("dense_id")))
+    return (assigned
+            .join(comp_ids, assigned["cluster_id"] == comp_ids["component"], "left")
             .select("clip_id",
-                    F.coalesce("cluster_id", F.lit(cfg.noise_label)).alias("cluster_id")))
+                    F.coalesce("dense_id", F.lit(cfg.noise_label)).alias("cluster_id")))

@@ -35,8 +35,11 @@ def heuristic_labels(feats: DataFrame, pos_floor: float = 0.8,
 
     pos: any feature >= pos_floor; neg: all features <= neg_ceil;
     fallback to top/bottom-N by mean feature when a class is empty
-    (reference /root/reference/src/core/model_engine.py:54-124).
+    (reference /root/reference/src/core/model_engine.py:54-124) —
+    each fallback draws only from rows NOT matching the other class's
+    mask, so no pair can carry both labels.
     Returns the labeled subset only, with a `label` column.
+    Raises ValueError when no labelable pair exists (empty input).
     """
     mean_expr = sum((F.coalesce(F.col(c), F.lit(0.0)) for c in feature_cols),
                     F.lit(0.0)) / len(feature_cols)
@@ -46,16 +49,24 @@ def heuristic_labels(feats: DataFrame, pos_floor: float = 0.8,
         cm = F.coalesce(F.col(c), F.lit(0.0))
         pos_mask = (cm >= pos_floor) if pos_mask is None else (pos_mask | (cm >= pos_floor))
         neg_mask = (cm <= neg_ceil) if neg_mask is None else (neg_mask & (cm <= neg_ceil))
-    feats = feats.withColumn("_mean_sim", mean_expr)
+    # materialize once: the emptiness probes, counts and the two
+    # orderBy/limit passes below would otherwise each recompute the
+    # upstream feature plan (up to 6x)
+    feats = feats.withColumn("_mean_sim", mean_expr).localCheckpoint(eager=True)
 
     pos = feats.where(pos_mask)
     neg = feats.where(neg_mask)
     if pos.isEmpty():
-        pos = feats.orderBy(F.col("_mean_sim").desc()).limit(fallback_n)
+        pos = feats.where(~neg_mask).orderBy(F.col("_mean_sim").desc()).limit(fallback_n)
     if neg.isEmpty():
-        neg = feats.orderBy(F.col("_mean_sim").asc()).limit(fallback_n)
+        neg = feats.where(~pos_mask).orderBy(F.col("_mean_sim").asc()).limit(fallback_n)
     # class balance to min(|pos|, |neg|), deterministic order
     n = min(pos.count(), neg.count())
+    if n == 0:
+        raise ValueError(
+            "heuristic_labels: no labelable pairs (empty or degenerate "
+            "feature input) — cannot train; widen thresholds or check "
+            "the upstream feature stage")
     pos = pos.orderBy(F.col("_mean_sim").desc()).limit(n).withColumn("label", F.lit(1))
     neg = neg.orderBy(F.col("_mean_sim").asc()).limit(n).withColumn("label", F.lit(0))
     return pos.unionByName(neg).drop("_mean_sim")

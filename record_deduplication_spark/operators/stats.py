@@ -18,10 +18,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def clustered(col: str = "cluster_id"):
+    """Predicate: row belongs to a real cluster. Handles BOTH cluster-id
+    conventions — densified long with -1 noise (reference C15 fillna,
+    /root/reference/src/core/clustering_engine.py:527-529) and the
+    engine-default string representative with NULL noise."""
+    c = F.col(col)
+    return c.isNotNull() & (c.cast("string") != "-1")
+
+
+def is_noise(col: str = "cluster_id"):
+    c = F.col(col)
+    return c.isNull() | (c.cast("string") == "-1")
+
+
 def cluster_stats(clusters: DataFrame) -> dict:
     """n_clusters, noise count/ratio, size histogram + percentiles."""
     n_total = clusters.count()
-    sizes = (clusters.where(F.col("cluster_id") >= 0)
+    sizes = (clusters.where(clustered())
              .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size")))
     agg = sizes.agg(
         F.count(F.lit(1)).alias("n_clusters"),
@@ -33,13 +47,13 @@ def cluster_stats(clusters: DataFrame) -> dict:
         F.sum(F.when((F.col("size") > 10) & (F.col("size") <= 100), 1).otherwise(0)).alias("medium"),
         F.sum(F.when(F.col("size") > 100, 1).otherwise(0)).alias("large"),
     ).collect()[0]
-    clustered = int(agg["clustered"] or 0)
+    n_clustered = int(agg["clustered"] or 0)
     return {
         "n_records": n_total,
         "n_clusters": int(agg["n_clusters"] or 0),
-        "n_noise": n_total - clustered,
-        "noise_ratio": (n_total - clustered) / n_total if n_total else 0.0,
-        "coverage_ratio": clustered / n_total if n_total else 0.0,
+        "n_noise": n_total - n_clustered,
+        "noise_ratio": (n_total - n_clustered) / n_total if n_total else 0.0,
+        "coverage_ratio": n_clustered / n_total if n_total else 0.0,
         "max_cluster_size": int(agg["max_size"] or 0),
         "size_percentiles": [float(x) for x in (agg["pcts"] or [])],
         "size_histogram": {k: int(agg[k] or 0)
@@ -63,7 +77,7 @@ def score_bands(edges: DataFrame,
 def materialize_groups(clusters: DataFrame) -> DataFrame:
     """G2-analog: per-cluster member list + canonical survivor
     (min clip_id — the reference's min-id root rule)."""
-    return (clusters.where(F.col("cluster_id") >= 0)
+    return (clusters.where(clustered())
             .groupBy("cluster_id")
             .agg(F.sort_array(F.collect_list("clip_id")).alias("members"),
                  F.min("clip_id").alias("survivor"),
@@ -78,7 +92,7 @@ def unique_records(all_ids: DataFrame, clusters: DataFrame) -> DataFrame:
                               F.lit(True).alias("is_merged"),
                               F.array_remove("members", F.col("survivor")
                                              .cast("string")).alias("merged_from"))
-    noise = (clusters.where(F.col("cluster_id") == -1)
+    noise = (clusters.where(is_noise())
              .select("clip_id", F.lit(False).alias("is_merged"),
                      F.array().cast("array<string>").alias("merged_from")))
     return noise.unionByName(survivors)
@@ -87,47 +101,14 @@ def unique_records(all_ids: DataFrame, clusters: DataFrame) -> DataFrame:
 def subdivide_kmeans(clusters: DataFrame, features: DataFrame,
                      max_size: int, feature_col: str = "embedding",
                      seed: int = 42) -> DataFrame:
-    """C7-analog: re-cluster each oversized cluster's members with
-    spark.ml KMeans (k = ceil(size / max_size)) over a per-record
-    feature vector — the reference's FastKMeans subdivision strategy
-    (/root/reference/src/core/clustering/hierarchical/subdivision_engine_v3.py:264-354,
-    fit-on-sample there; spark.ml KMeans is already distributed so we
-    fit on all members). Driver loop over oversized clusters = the C6
-    while-loop-of-jobs shape. Returns (clip_id, cluster_key) where
-    subdivided members get "<cluster_id>_k<bucket>" keys.
-
-    `features`: (clip_id, <feature_col>: array<numeric>). Records
-    without features keep their cluster."""
-    import math
-
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    sizes = (clusters.where(F.col("cluster_id") >= 0)
-             .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size")))
-    oversized = [(int(r.cluster_id), int(r.size))
-                 for r in sizes.where(F.col("size") > max_size).collect()]
-    out = clusters.select(
-        "clip_id", F.col("cluster_id").cast("string").alias("cluster_key"))
-    if not oversized:
-        return out
-    feats = features.select(
-        "clip_id",
-        array_to_vector(F.col(feature_col).cast("array<double>")).alias("fv"))
-    for cid, size in oversized:
-        members = (clusters.where(F.col("cluster_id") == cid)
-                   .select("clip_id").join(feats, "clip_id"))
-        k = min(math.ceil(size / max_size), size)
-        km = KMeans(k=k, seed=seed, featuresCol="fv", predictionCol="bucket",
-                    initMode="k-means||", maxIter=20)
-        pred = km.fit(members).transform(members)
-        sub = pred.select(
-            "clip_id",
-            F.concat_ws("_k", F.lit(str(cid)), F.col("bucket")).alias("new_key"))
-        out = (out.join(sub, "clip_id", "left")
-               .select("clip_id",
-                       F.coalesce("new_key", "cluster_key").alias("cluster_key")))
-    return out
+    """C7-analog: see operators/subdivide.subdivide_kmeans (per-group
+    seeded KMeans inside ONE applyInPandas job for all oversized
+    clusters + ONE merge join — replaces the former per-cluster
+    driver loop whose chained joins grew plan depth O(#oversized)).
+    Kept here as a re-export for the stats-module API."""
+    from .subdivide import subdivide_kmeans as _impl
+    return _impl(clusters, features, max_size,
+                 feature_col=feature_col, seed=seed)
 
 
 def validate_connectivity(edges: DataFrame, clusters: DataFrame) -> int:
@@ -207,7 +188,7 @@ def subdivide_oversized(clusters: DataFrame, max_size: int,
     This is a driver-free single pass (no loop needed: hash split is
     guaranteed to bound sizes in one application with
     salt_buckets >= ceil(size/max_size))."""
-    sizes = (clusters.where(F.col("cluster_id") >= 0)
+    sizes = (clusters.where(clustered())
              .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size")))
     joined = clusters.join(sizes, "cluster_id", "left")
     k = salt_buckets
@@ -217,7 +198,7 @@ def subdivide_oversized(clusters: DataFrame, max_size: int,
                F.lit(k) if k else F.ceil(F.col("size") / max_size).cast("long")))
     return joined.select(
         "clip_id",
-        F.when(F.col("cluster_id") < 0, F.col("cluster_id").cast("string"))
+        F.when(is_noise(), F.col("cluster_id").cast("string"))
          .when(bucket.isNotNull(),
                F.concat_ws("_", F.col("cluster_id"), bucket))
          .otherwise(F.col("cluster_id").cast("string"))

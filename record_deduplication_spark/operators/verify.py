@@ -19,9 +19,9 @@ the few surviving candidates; bytes never enter a groupBy/window).
 Plan shape: the expensive suffix-array UDF runs only on the row subset
 that still needs it (cheap criteria first, then filter+union — NOT a
 `when` branch, which would evaluate the UDF over every row of the
-batch). Pair tables are explicitly repartitioned before UDF stages so
-AQE's small-data coalescing can't serialize Python evaluation onto one
-core.
+batch). UDF stages run on the partitioning the preceding equi-joins
+already produced (hash by join key, shuffle_partitions-wide) — no
+extra round-robin repartition shuffles.
 """
 
 from __future__ import annotations
@@ -93,8 +93,6 @@ def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFr
     Joins the (small relative to clips) candidate set with per-clip
     context twice — shuffle equi-joins on clip_id; only pruned columns
     are carried."""
-    spark = cands.sparkSession
-    n = spark.sparkContext.defaultParallelism
     ctx = signed.select("clip_id", "transcript_norm", "sha_bytes", "pcm_fp")
     p = (cands
          .join(ctx.select(F.col("clip_id").alias("id_1"),
@@ -104,8 +102,14 @@ def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFr
          .join(ctx.select(F.col("clip_id").alias("id_2"),
                           F.col("transcript_norm").alias("norm_2"),
                           F.col("sha_bytes").alias("sha_2"),
-                          F.col("pcm_fp").alias("fp_2")), "id_2")
-         .repartition(n))
+                          F.col("pcm_fp").alias("fp_2")), "id_2"))
+    # no post-join repartition: the second equi-join already leaves the
+    # context hash-partitioned by id_2 across spark.sql.shuffle
+    # .partitions — a round-robin repartition here was a FULL extra
+    # shuffle of the wide (norm strings) pair context. AQE's
+    # parallelismFirst coalescing keeps >= parallelism partitions at
+    # any realistic scale (it only merges below minPartitionSize), so
+    # the Jaccard UDF still fans out across cores.
 
     has = lambda s: F.array_contains(F.col("sources"), s)  # noqa: E731
     textish = has("lsh") | has("substring")

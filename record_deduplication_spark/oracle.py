@@ -190,10 +190,15 @@ def oracle_dedup(clips: pd.DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> dict
 
 
 def cluster_pairs(clusters: pd.DataFrame) -> set[tuple[str, str]]:
-    """Co-membership pairs implied by cluster assignments (noise -1
-    excluded). This is the pair set dup-pair recall is measured on."""
+    """Co-membership pairs implied by cluster assignments (noise
+    excluded). Noise is -1 in the densified integer convention and
+    NULL in the engine's default string-representative convention —
+    accept either. This is the pair set dup-pair recall is measured
+    on."""
+    cid = clusters["cluster_id"]
+    clustered = cid.notna() & (cid.astype("string") != "-1")
     out: set[tuple[str, str]] = set()
-    for _, grp in clusters[clusters["cluster_id"] >= 0].groupby("cluster_id"):
+    for _, grp in clusters[clustered].groupby("cluster_id"):
         m = sorted(grp["clip_id"])
         for j in range(1, len(m)):
             for k in range(j):

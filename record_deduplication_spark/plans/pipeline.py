@@ -33,6 +33,7 @@ from ..config import DedupConfig, DEFAULT_CONFIG
 from ..operators import blocking as B
 from ..operators.cc import assign_clusters, connected_components
 from ..operators.signatures import add_signatures
+from ..operators.stats import clustered
 from ..operators.verify import build_edges
 from ..sources.checkpoint import CheckpointStore
 
@@ -95,7 +96,7 @@ class DedupPipeline:
             "n_clips": n_clips,
             "n_candidates": n_cands,
             "n_edges": n_edges,
-            "n_clusters": clusters.where(F.col("cluster_id") >= 0)
+            "n_clusters": clusters.where(clustered())
                                   .select("cluster_id").distinct().count(),
             "reduction_ratio": B.reduction_ratio(n_clips, n_cands),
         }

@@ -47,6 +47,28 @@ def test_cc_empty(spark):
 def test_assign_clusters_noise(spark):
     edges = spark.createDataFrame([("a", "b")], "id_1 string, id_2 string")
     ids = spark.createDataFrame([("a",), ("b",), ("z",)], "clip_id string")
-    out = assign_clusters(ids, connected_components(edges, DEFAULT_CONFIG)).toPandas()
+    comps = connected_components(edges, DEFAULT_CONFIG)
+    # default contract: string representative ids, NULL noise
+    out = assign_clusters(ids, comps).toPandas()
     got = dict(zip(out["clip_id"], out["cluster_id"]))
+    assert got["z"] is None and got["a"] == got["b"] == "a"
+    # densified opt-in: dense longs, -1 noise
+    dense = assign_clusters(ids, comps, densify=True).toPandas()
+    got = dict(zip(dense["clip_id"], dense["cluster_id"]))
     assert got["z"] == -1 and got["a"] == got["b"] == 0
+
+
+def test_assign_clusters_densify_dense_and_deterministic(spark):
+    """Densified ids are 0..k-1 (each exactly once per component) and
+    stable across re-evaluation — without any global-window plan."""
+    edges = spark.createDataFrame(
+        [(f"n{2*i}", f"n{2*i+1}") for i in range(25)],
+        "id_1 string, id_2 string")
+    ids = spark.createDataFrame([(f"n{i}",) for i in range(60)], "clip_id string")
+    comps = connected_components(edges, DEFAULT_CONFIG)
+    a = assign_clusters(ids, comps, densify=True).toPandas()
+    b = assign_clusters(ids, comps, densify=True).toPandas()
+    real = sorted(a[a["cluster_id"] >= 0]["cluster_id"].unique())
+    assert real == list(range(25))
+    assert (a.sort_values("clip_id").reset_index(drop=True)
+             .equals(b.sort_values("clip_id").reset_index(drop=True)))

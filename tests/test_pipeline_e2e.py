@@ -68,11 +68,18 @@ def test_recall_vs_planted_truth(spark, corpus_paths, result):
 
 
 def test_noise_convention(result):
+    """Engine-default contract: cluster_id is the string component
+    representative; singletons (no dup edge) are NULL noise."""
     cl = result.clusters
-    sizes = (cl.where(F.col("cluster_id") >= 0)
+    sizes = (cl.where(F.col("cluster_id").isNotNull())
              .groupBy("cluster_id").count().toPandas())
-    assert (sizes["count"] >= 2).all()  # no size-1 "clusters"; singletons are -1
-    assert cl.where(F.col("cluster_id") == -1).count() > 0
+    assert (sizes["count"] >= 2).all()  # no size-1 "clusters"; singletons are noise
+    assert cl.where(F.col("cluster_id").isNull()).count() > 0
+    # representative is a member of its own cluster (min member id)
+    bad = (cl.where(F.col("cluster_id").isNotNull())
+           .groupBy("cluster_id").agg(F.min("clip_id").alias("mn"))
+           .where(F.col("mn") != F.col("cluster_id")).count())
+    assert bad == 0
 
 
 def test_edges_never_split_across_clusters(result):
