@@ -47,8 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def make(name: str):
         return lambda spark, sf_dir: G.run_spark(spark, sf_dir, name)
-    return {name: make(name) for name in sorted(G.PAIRED_SQL)}
+    return {name: make(name) for name in G.all_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: G.duckdb_sql(name) for name in sorted(G.PAIRED_SQL)}
+    return {name: G.duckdb_sql(name) for name in G.all_names()}

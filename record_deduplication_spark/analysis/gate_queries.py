@@ -112,39 +112,54 @@ FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY fp
 """)
 
 # ---- dedup: MinHash-LSH banded blocking + exact-Jaccard verify (B4+F4+M4) ----
+# Spark side is expressed with higher-order array functions: MinHash
+# signatures are computed per document INSIDE one projection
+# (transform/array_min over the shingle array) instead of shuffling
+# |shingles| x |perms| exploded rows through a groupBy — identical
+# results (same md5-based hash, same band keys, same rounding) with
+# the only shuffles being the band self-join and the final context
+# joins. This is the plan shape the engine's own signature scan uses
+# (operators/signatures.py fused pass); the DuckDB twin keeps the
+# relational formulation.
+_R = _P // _BANDS
 _mh_spark = f"""
-WITH {_shingle_cte_spark()},
+WITH toks AS (SELECT /*+ REPARTITION(32) */ doc_id, split(text, ' ') AS w
+              FROM documents),
+sharr AS (
+  SELECT doc_id,
+         array_distinct(transform(sequence(0, size(w)-{_K}),
+                                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+  FROM toks WHERE size(w) >= {_K}
+),
 mh AS (
-  SELECT doc_id, p,
-         min({_H_SPARK.format(x="concat(s, ':', CAST(p AS STRING))")}) AS mhv
-  FROM shd CROSS JOIN (SELECT explode(sequence(0, {_P - 1})) AS p)
-  GROUP BY doc_id, p
+  SELECT doc_id, sh,
+         transform(sequence(0, {_P - 1}),
+                   p -> array_min(transform(sh,
+                        s -> {_H_SPARK.format(x="concat(s, ':', CAST(p AS STRING))")}))) AS mhv
+  FROM sharr
 ),
 bands AS (
-  SELECT doc_id, CAST(p / {_P // _BANDS} AS INT) AS band,
-         array_join(transform(array_sort(collect_list(struct(p, mhv))),
-                              x -> CAST(x.mhv AS STRING)), ',') AS bkey
-  FROM mh GROUP BY doc_id, CAST(p / {_P // _BANDS} AS INT)
+  SELECT doc_id, b AS band,
+         array_join(transform(slice(mhv, b * {_R} + 1, {_R}),
+                              x -> CAST(x AS STRING)), ',') AS bkey
+  FROM mh LATERAL VIEW explode(sequence(0, {_BANDS - 1})) t AS b
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
-inter AS (
-  SELECT c.id_1, c.id_2, count(*) AS i
+j AS (
+  SELECT c.id_1, c.id_2,
+         size(array_intersect(x.sh, y.sh)) AS i,
+         size(x.sh) AS na, size(y.sh) AS nb
   FROM cand c
-  JOIN shd x ON x.doc_id = c.id_1
-  JOIN shd y ON y.doc_id = c.id_2 AND y.s = x.s
-  GROUP BY c.id_1, c.id_2
+  JOIN sharr x ON x.doc_id = c.id_1
+  JOIN sharr y ON y.doc_id = c.id_2
 )
-SELECT i.id_1, i.id_2,
-       round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.id_1
-JOIN sizes sb ON sb.doc_id = i.id_2
-WHERE i.i / (sa.n + sb.n - i.i) >= {_JT}
+SELECT id_1, id_2, round(i / (na + nb - i), 6) AS jaccard
+FROM j
+WHERE i / (na + nb - i) >= {_JT}
 ORDER BY id_1, id_2
 """
 _mh_duck = f"""
@@ -233,21 +248,25 @@ ORDER BY id_1, id_2
 _q("substring_run_pairs", _ss_spark, _ss_duck)
 
 # ---- dedup: SimHash fingerprints over word hashes (32-bit) ----
+# Spark side: whole SimHash per document in ONE projection (nested
+# higher-order aggregates over the distinct-word-hash array) — no
+# |words| x 32-bit-position exploded shuffle. Identical bit votes and
+# fingerprints; the DuckDB twin keeps the relational formulation.
 _sh_spark = f"""
 WITH wd AS (
-  SELECT DISTINCT doc_id, wrd FROM (
-    SELECT doc_id, explode(split(text, ' ')) AS wrd FROM documents)
+  SELECT /*+ REPARTITION(32) */ doc_id, array_distinct(split(text, ' ')) AS ws
+  FROM documents
 ),
-wh AS (SELECT doc_id, {_H_SPARK.format(x="wrd")} AS h FROM wd),
-bits AS (
-  SELECT doc_id, b,
-         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM wh CROSS JOIN (SELECT explode(sequence(0, 31)) AS b)
-  GROUP BY doc_id, b
+wh AS (
+  SELECT doc_id, transform(ws, wrd -> {_H_SPARK.format(x="wrd")}) AS hs FROM wd
 )
 SELECT doc_id,
-       CAST(sum(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash32
-FROM bits GROUP BY doc_id ORDER BY doc_id
+       aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+         (acc, b) -> acc + CASE WHEN
+             aggregate(hs, 0, (a2, h) ->
+                       a2 + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+           THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END) AS simhash32
+FROM wh ORDER BY doc_id
 """
 _sh_duck = f"""
 WITH wd AS (
@@ -912,13 +931,194 @@ HAVING count(*) BETWEEN 3 AND 500 ORDER BY lang, source
 
 
 # --------------------------------------------------------------------------
+# Engine-operator gates: Spark side is ENGINE DataFrame code (not SQL),
+# paired with a DuckDB recursive-CTE twin — puts the distributed
+# operators themselves (alternating-star CC, the C8/C9 subdivision
+# ladder) under the same rows+schema+hash signal as the SQL gates.
+# Edge fixtures are pure doc_id arithmetic (identical on both engines;
+# no hash functions, which differ across engines). Vertex ids are
+# zero-padded on the Spark side so the engine's lexicographic-min
+# representative equals DuckDB's numeric min.
+# --------------------------------------------------------------------------
+
+PAIRED_FN: dict = {}  # name -> (spark_fn(spark) -> DataFrame, duckdb_sql)
+
+
+def _fq(name: str, fn, duck_sql: str) -> None:
+    PAIRED_FN[name] = (fn, duck_sql.strip())
+
+
+_CC_EDGES_SPARK = """
+SELECT lpad(CAST(a AS STRING), 6, '0') AS id_1,
+       lpad(CAST(b AS STRING), 6, '0') AS id_2
+FROM (
+  SELECT doc_id AS a, doc_id+1 AS b FROM documents
+  WHERE doc_id < 192 AND doc_id % 6 <> 5 AND doc_id + 1 < 192
+  UNION ALL
+  SELECT doc_id, doc_id+2 FROM documents
+  WHERE doc_id < 192 AND doc_id % 6 = 0 AND doc_id + 2 < 192
+  UNION ALL
+  SELECT doc_id, doc_id+6 FROM documents
+  WHERE doc_id < 192 AND doc_id % 24 = 2 AND doc_id + 6 < 192
+)
+"""
+
+
+def _cc_small_spark(spark: SparkSession) -> DataFrame:
+    """Engine large-star/small-star connected components over a
+    deterministic 192-vertex fixture (chains + cycles + cross-links;
+    24 components of sizes 6 and 12). cc_driver_max_edges=0 forces the
+    DISTRIBUTED star path — the 10^12-scale algorithm itself is what
+    the hash gate checks, not the driver union-find shortcut."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from ..config import DEFAULT_CONFIG
+    from ..operators.cc import connected_components
+
+    edges = spark.sql(_CC_EDGES_SPARK)
+    cfg = replace(DEFAULT_CONFIG, cc_driver_max_edges=0)
+    comps = connected_components(edges, cfg)
+    return (comps.select(F.col("clip_id").cast("bigint").alias("doc_id"),
+                         F.col("component").cast("bigint").alias("component"))
+            .orderBy("doc_id"))
+
+
+_fq("connected_components_small", _cc_small_spark, """
+WITH RECURSIVE e0 AS (
+  SELECT doc_id AS a, doc_id+1 AS b FROM documents
+  WHERE doc_id < 192 AND doc_id % 6 <> 5 AND doc_id + 1 < 192
+  UNION ALL
+  SELECT doc_id, doc_id+2 FROM documents
+  WHERE doc_id < 192 AND doc_id % 6 = 0 AND doc_id + 2 < 192
+  UNION ALL
+  SELECT doc_id, doc_id+6 FROM documents
+  WHERE doc_id < 192 AND doc_id % 24 = 2 AND doc_id + 6 < 192
+),
+sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+reach(id, r) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+)
+SELECT id AS doc_id, least(min(r), id) AS component
+FROM reach GROUP BY id ORDER BY doc_id
+""")
+
+
+_LADDER_EDGES_SPARK = """
+SELECT lpad(CAST(doc_id AS STRING), 6, '0') AS id_1,
+       lpad(CAST(doc_id + 1 AS STRING), 6, '0') AS id_2,
+       CASE WHEN doc_id % 10 = 4 THEN 0.55 ELSE 0.95 END AS score
+FROM documents WHERE doc_id < 60 AND doc_id % 10 <> 9
+"""
+
+
+def _subdivision_ladder_spark(spark: SparkSession) -> DataFrame:
+    """C8/C9 threshold-ladder subdivision end-to-end on a planted
+    over-merge: 6 chains of 10 (weak middle link, score 0.55) cluster
+    together at base threshold 0.5; with max_size=6 every cluster is
+    oversized and the 0.7 rung must split each along the planted
+    halves. Runs the ENGINE ops (connected_components +
+    subdivide_ladder), then maps the hierarchical keys back to
+    numeric (base_cluster, sub_cluster) representatives."""
+    from pyspark.sql import functions as F
+
+    from ..config import DEFAULT_CONFIG
+    from ..operators.cc import connected_components
+    from ..operators.subdivide import subdivide_ladder
+
+    edges = spark.sql(_LADDER_EDGES_SPARK)
+    base_e = edges.where(F.col("score") >= 0.5).select("id_1", "id_2")
+    clusters = (connected_components(base_e, DEFAULT_CONFIG)
+                .withColumnRenamed("component", "cluster_id"))
+    assign = subdivide_ladder(clusters, edges, max_size=6,
+                              thresholds=[0.7], cfg=DEFAULT_CONFIG)
+    parts = F.split(F.col("cluster_key"), "\\.")
+    return (assign.select(
+        F.col("clip_id").cast("bigint").alias("doc_id"),
+        parts.getItem(0).cast("bigint").alias("base_cluster"),
+        F.coalesce(F.element_at(parts, 2), parts.getItem(0))
+         .cast("bigint").alias("sub_cluster"))
+        .orderBy("doc_id"))
+
+
+_fq("subdivision_ladder", _subdivision_ladder_spark, """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS a, doc_id+1 AS b,
+         CASE WHEN doc_id%10=4 THEN 0.55 ELSE 0.95 END AS s
+  FROM documents WHERE doc_id < 60 AND doc_id%10 <> 9),
+sym0 AS (SELECT a,b FROM e WHERE s >= 0.5 UNION SELECT b,a FROM e WHERE s >= 0.5),
+r0(id, r) AS (SELECT a, b FROM sym0
+              UNION SELECT r0.id, sym0.b FROM r0 JOIN sym0 ON r0.r = sym0.a),
+base AS (SELECT id, least(min(r), id) AS base_cluster FROM r0 GROUP BY id),
+bsz AS (SELECT base_cluster, count(*) AS c FROM base GROUP BY 1),
+sym1 AS (SELECT a,b FROM e WHERE s >= 0.7 UNION SELECT b,a FROM e WHERE s >= 0.7),
+sym1o AS (SELECT sym1.a, sym1.b FROM sym1
+          JOIN base ba ON sym1.a = ba.id JOIN base bb ON sym1.b = bb.id
+          JOIN bsz ON ba.base_cluster = bsz.base_cluster
+          WHERE ba.base_cluster = bb.base_cluster AND bsz.c > 6),
+r1(id, r) AS (SELECT a, b FROM sym1o
+              UNION SELECT r1.id, sym1o.b FROM r1 JOIN sym1o ON r1.r = sym1o.a),
+sub AS (SELECT id, least(min(r), id) AS sub_rep FROM r1 GROUP BY id),
+nsub AS (SELECT b.base_cluster, count(DISTINCT s.sub_rep) AS n
+         FROM base b JOIN sub s ON b.id = s.id GROUP BY 1)
+SELECT b.id AS doc_id, b.base_cluster,
+       CASE WHEN bsz.c > 6 AND coalesce(nsub.n, 0) >= 2
+            THEN coalesce(s.sub_rep, b.base_cluster)
+            ELSE b.base_cluster END AS sub_cluster
+FROM base b
+JOIN bsz USING (base_cluster)
+LEFT JOIN nsub USING (base_cluster)
+LEFT JOIN sub s ON b.id = s.id
+ORDER BY doc_id
+""")
+
+
+def _events_windowed_stream_twin(spark: SparkSession) -> DataFrame:
+    """The STREAMING windowed-counter operator
+    (streaming/dedup_stream.windowed_event_counts) applied in batch
+    mode — identical groupBy(window(...)) plan minus the watermark, so
+    the streaming aggregation logic itself is value-hash-gated (the
+    late-data/watermark semantics are covered by
+    tests/test_streaming.py, which no batch oracle can express)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.dedup_stream import windowed_event_counts
+
+    ev = spark.table("events")
+    return (windowed_event_counts(ev, ts_col="ts", window="1 hour")
+            .select(F.unix_timestamp("win_start").cast("bigint").alias("hour_epoch"),
+                    "event_type", "n_events", "total_value")
+            .orderBy("hour_epoch", "event_type"))
+
+
+_fq("events_windowed_stream_twin", _events_windowed_stream_twin, """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 3) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type
+""")
+
+
+# --------------------------------------------------------------------------
 # Runners
 # --------------------------------------------------------------------------
 
+def all_names() -> list[str]:
+    return sorted(set(PAIRED_SQL) | set(PAIRED_FN))
+
+
 def run_spark(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_views(spark, sf_dir)
+    if name in PAIRED_FN:
+        return PAIRED_FN[name][0](spark)
     return spark.sql(PAIRED_SQL[name][0])
 
 
 def duckdb_sql(name: str) -> str:
+    if name in PAIRED_FN:
+        return PAIRED_FN[name][1]
     return PAIRED_SQL[name][1]

@@ -6,7 +6,13 @@ is that launcher:
 
     python -m record_deduplication_spark.cli --make-pyfiles dist/rds.zip
     spark-submit --master <cluster> --py-files dist/rds.zip \
-        jobs/run_dedup.py --input s3://.../clips --workdir s3://.../work
+        jobs/run_dedup.py --input s3://.../clips --workdir iceberg.dedup
+
+The input may be any Spark-readable path; the WORKDIR must be either a
+LOCAL path (parquet checkpoint mode — single-node/test runs) or an
+Iceberg catalog namespace like `iceberg.dedup` (cluster runs; remote
+object storage goes through the catalog). A remote URI workdir without
+Iceberg fails fast in CheckpointStore with this exact remedy.
 
 Inside spark-submit there is already a SparkSession (or one is created
 honoring the submit-provided master/conf); locally (tests/bench) the
@@ -39,7 +45,23 @@ def parse_config_overrides(pairs: list[str]):
         if k not in fields:
             raise SystemExit(f"unknown config key {k!r}; valid: {sorted(fields)}")
         cur = getattr(DEFAULT_CONFIG, k)
-        out[k] = type(cur)(float(v)) if isinstance(cur, (int, float)) else v
+        # coerce per-type: int(v) rejects non-integers loudly (no
+        # silent truncation of --set num_perm=63.7), bools get an
+        # explicit parser (bool is an int subclass — bool(float(v))
+        # would accept anything truthy)
+        if isinstance(cur, bool):
+            if v.lower() not in ("true", "false", "1", "0"):
+                raise SystemExit(f"--set {k} expects true/false, got {v!r}")
+            out[k] = v.lower() in ("true", "1")
+        elif isinstance(cur, int):
+            try:
+                out[k] = int(v)
+            except ValueError:
+                raise SystemExit(f"--set {k} expects an integer, got {v!r}")
+        elif isinstance(cur, float):
+            out[k] = float(v)
+        else:
+            out[k] = v
     return dataclasses.replace(DEFAULT_CONFIG, **out)
 
 

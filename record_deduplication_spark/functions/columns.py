@@ -1,0 +1,59 @@
+"""P5: fuzzy column auto-detection.
+
+Driver-side schema inspection mirroring the reference's detection
+semantics exactly (/root/reference/src/core/preprocess_engine.py:234-285):
+
+- company: exact lowercase name match against a candidate list first,
+  then substring containment;
+- domain: exact match only;
+- phone: substring containment;
+- address: ALL columns containing an address-ish term (multi-column);
+- id: exact match first (including the space variants "sys id" /
+  "system id"), then substring containment of id/key/identifier.
+
+The engine's own input schema is fixed (Iceberg `clips`,
+SURVEY.md §1.3) so this survives as a helper for ad-hoc/CSV inputs and
+tests — exactly the thin `resolve_columns()` SURVEY §1.2 promises.
+"""
+
+from __future__ import annotations
+
+_COMPANY = ("company", "company_name", "organization", "org", "business",
+            "firm", "name")
+_DOMAIN = ("domain", "website", "url", "web", "site", "email")
+_PHONE = ("phone", "telephone", "tel", "mobile", "cell")
+_ADDRESS = ("address", "street", "city", "state", "zip", "postal", "location")
+_ID_EXACT = ("id", "record_id", "sys id", "system id", "identifier", "key",
+             "sys_id", "system_id")
+_ID_SUB = ("id", "key", "identifier")
+
+
+def _exact(columns: list[str], names: tuple[str, ...]) -> str | None:
+    for col in columns:
+        if col.lower() in names:
+            return col
+    return None
+
+
+def _containing(columns: list[str], names: tuple[str, ...]) -> str | None:
+    for col in columns:
+        low = col.lower()
+        if any(n in low for n in names):
+            return col
+    return None
+
+
+def resolve_columns(columns: list[str]) -> dict:
+    """Map a raw column list to the dedup roles. Missing roles map to
+    None (address: empty list) — downstream stages degrade gracefully,
+    like the reference's optional-column handling
+    (/root/reference/src/core/blocking_engine.py:68-93)."""
+    address = [c for c in columns
+               if any(n in c.lower() for n in _ADDRESS)]
+    return {
+        "company": _exact(columns, _COMPANY) or _containing(columns, _COMPANY),
+        "domain": _exact(columns, _DOMAIN),
+        "phone": _containing(columns, _PHONE),
+        "address": address,
+        "id": _exact(columns, _ID_EXACT) or _containing(columns, _ID_SUB),
+    }

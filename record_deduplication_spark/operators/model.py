@@ -126,3 +126,36 @@ def prob_quantiles(scored: DataFrame, prob_col: str = "prob",
     """M5: percentile_approx in one agg pass."""
     row = scored.agg(F.percentile_approx(prob_col, list(qs)).alias("q")).collect()[0]
     return {f"p{int(q * 100)}": float(v) for q, v in zip(qs, row.q)}
+
+
+# --------------------------------------------------------------------------
+# S5: model persistence (the reference joblib-dumps its sklearn model,
+# /root/reference/src/core/model_engine.py:374-376; our model is a plain
+# coefficient dict, so persistence is an exact JSON round-trip plus a
+# tabular form the CheckpointStore can commit like any other stage)
+# --------------------------------------------------------------------------
+
+def save_model(model: dict, path: str) -> None:
+    """Exact round-trip: floats serialized via repr-precision JSON."""
+    import json
+    with open(path, "w") as f:
+        json.dump(model, f, sort_keys=True)
+
+
+def load_model(path: str) -> dict:
+    import json
+    with open(path) as f:
+        return json.load(f)
+
+
+def model_to_rows(model: dict) -> list[tuple[str, float]]:
+    """(term, value) rows; intercept under the reserved term name."""
+    rows = [("__intercept__", float(model["intercept"]))]
+    rows += sorted((c, float(b)) for c, b in model["coef"].items())
+    return rows
+
+
+def model_from_rows(rows) -> dict:
+    d = {r[0]: float(r[1]) for r in (tuple(r) for r in rows)}
+    intercept = d.pop("__intercept__")
+    return {"intercept": intercept, "coef": d}

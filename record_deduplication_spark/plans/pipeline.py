@@ -104,3 +104,32 @@ class DedupPipeline:
         self.store.flush()
         return PipelineResult(clusters=clusters, edges=edges,
                               candidates=cands, stats=stats)
+
+    def model_stage(self, feats: DataFrame,
+                    feature_cols: tuple[str, ...] = ("jaccard",),
+                    resume: bool = True) -> dict:
+        """M1-M2 + S5 as a RESUMABLE stage: train the pair-scoring
+        model (heuristic labels -> driver IRLS logistic) and commit
+        the coefficients as a `model` checkpoint table; with
+        resume=True an existing table is read back instead of
+        retraining — the model path now has the same kill/relaunch
+        contract as every data stage (the reference joblib-dumps its
+        model but has no resume around it,
+        /root/reference/src/core/model_engine.py:374-376).
+
+        Returns the coefficient dict {"intercept": b0, "coef": {...}}."""
+        from ..operators.model import (heuristic_labels, model_from_rows,
+                                       model_to_rows, train_logistic)
+        if resume and self.store.exists("model"):
+            return model_from_rows(
+                (r.term, r.value) for r in self.store.read("model").collect())
+        run_id = self.store.next_run_id()
+        t0 = time.time()
+        labeled = heuristic_labels(feats, feature_cols=tuple(feature_cols))
+        model = train_logistic(labeled, list(feature_cols))
+        mdf = self.spark.createDataFrame(model_to_rows(model),
+                                         "term string, value double")
+        self.store.write("model", mdf.coalesce(1))
+        self.store.log(run_id, "model", t0, len(model["coef"]) + 1, 1)
+        self.store.flush()
+        return model

@@ -72,6 +72,19 @@ class CheckpointStore:
         self.base = base
         self.use_iceberg = _iceberg_available(spark) and _looks_like_namespace(base)
         if not self.use_iceberg:
+            if "://" in base:
+                # The parquet-mode store reads commit metadata via
+                # os.path/os.listdir/pyarrow — local filesystem ONLY.
+                # On a remote workdir those silently see nothing:
+                # exists() would always be False (resume never
+                # detects checkpoints) and partition_rows would crash
+                # on the first commit. Fail fast with the remedy.
+                raise ValueError(
+                    f"CheckpointStore parquet mode requires a local "
+                    f"filesystem path, got {base!r}. For remote "
+                    f"storage (s3://, hdfs://, ...) configure an "
+                    f"Iceberg catalog and pass a dotted namespace "
+                    f"('catalog.db') as the workdir instead.")
             os.makedirs(base, exist_ok=True)
         self._pending: list[tuple] = []
         self._pending_lineage: list[tuple] = []

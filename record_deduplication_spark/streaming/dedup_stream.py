@@ -48,6 +48,30 @@ def exact_dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> Data
             .drop("dup_key"))
 
 
+def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
+                          window: str = "1 hour",
+                          watermark: str | None = None) -> DataFrame:
+    """Tumbling-window event counters over EVENT TIME.
+
+    The same function serves two surfaces:
+    - streaming: with `watermark`, state is bounded and append-mode
+      emission finalizes a window once the watermark passes its end;
+      events later than the horizon are dropped (late-data contract,
+      tested in tests/test_streaming.py);
+    - batch: identical plan minus the watermark — this is the
+      `events_windowed_stream_twin` DuckDB-gated query, so the
+      streaming aggregation logic sits under the hash gate too.
+    """
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.window(ts_col, window).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 3).alias("total_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    "event_type", "n_events", "total_value"))
+
+
 def codec_counters(stream: DataFrame, window: str = "1 minute") -> DataFrame:
     """Windowed ingestion counters (tumbling)."""
     return (stream

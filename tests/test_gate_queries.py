@@ -37,7 +37,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
-@pytest.mark.parametrize("name", sorted(G.PAIRED_SQL))
+@pytest.mark.parametrize("name", G.all_names())
 def test_paired_query_matches_duckdb(spark, duck, name):
     ours = G.run_spark(spark, SF_DIR, name).toPandas()
     theirs = duck.sql(G.duckdb_sql(name)).df()

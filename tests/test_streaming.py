@@ -32,3 +32,74 @@ def test_streaming_exact_dedup(spark, tmpdir_session):
             for b, t in zip(clips["bytes"], clips["transcript"])}
     assert n == len(keys), f"stream kept {n}, expected {len(keys)} unique keys"
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_late_data_watermark(spark, tmpdir_session):
+    """Watermark contract over EVENT time: an event older than the
+    watermark horizon is DROPPED from its (already finalized) window;
+    a late event still within the horizon is KEPT and counted when its
+    window finalizes. Three single-file micro-batches drive the
+    watermark forward deterministically (mtime-ordered)."""
+    import time as _time
+    from datetime import datetime
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from record_deduplication_spark.streaming.dedup_stream import (
+        windowed_event_counts)
+
+    base = os.path.join(tmpdir_session, "stream_late")
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(in_dir, exist_ok=True)
+
+    def ts(minute, second=0):
+        return datetime(2026, 1, 1, 10, minute, second)
+
+    # batch A: 3 on-time events in W1[10:00,10:10) + pusher at 10:30
+    #   -> watermark after A = 10:25 (> W1 end): W1 finalizes next batch
+    a = pd.DataFrame({"ts": [ts(1), ts(3), ts(5), ts(30)],
+                      "event_type": ["a", "a", "a", "push"],
+                      "value": [1.0, 1.0, 1.0, 0.0]})
+    # batch B: too-late event at 10:02 (W1, ts < watermark AND window
+    # closed -> dropped); in-horizon late event at 10:24 (ts < water-
+    # mark but W2[10:20,10:30) still open -> kept); pusher at 10:38
+    #   -> watermark after B = 10:33 (> W2 end)
+    b = pd.DataFrame({"ts": [ts(2), ts(24), ts(38)],
+                      "event_type": ["a", "a", "push"],
+                      "value": [99.0, 5.0, 0.0]})
+    # batch C: pusher only — triggers emission of W2
+    c = pd.DataFrame({"ts": [ts(45)], "event_type": ["push"], "value": [0.0]})
+
+    _ = _time  # batch order is driven by restarts, not mtimes
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("event_type", T.StringType()),
+                           T.StructField("value", T.DoubleType())])
+    # one availableNow run PER file: each restart recovers the
+    # watermark from the checkpoint, so batch boundaries (and the
+    # watermark advance between them) are deterministic — and stream
+    # state recovery is exercised for free
+    for i, pdf in enumerate((a, b, c)):
+        pdf.to_parquet(os.path.join(in_dir, f"f{i}.parquet"), index=False,
+                       coerce_timestamps="us", allow_truncated_timestamps=True)
+        stream = (spark.readStream.schema(schema).parquet(in_dir))
+        q = (windowed_event_counts(stream, ts_col="ts", window="10 minutes",
+                                   watermark="5 minutes")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    out = spark.read.parquet(out_dir).where(F.col("event_type") == "a").toPandas()
+    got = {r.win_start.minute: (int(r.n_events), float(r.total_value))
+           for r in out.itertuples()}
+    # W1: the 10:02 straggler was dropped -> 3 events, not 4 (and not
+    # value 102.0)
+    assert got.get(0) == (3, 3.0), got
+    # W2: the in-horizon late 10:24 event WAS counted
+    assert got.get(20) == (1, 5.0), got
+    shutil.rmtree(base, ignore_errors=True)
