@@ -295,22 +295,38 @@ def subdivide_kmeans(clusters: DataFrame, features: DataFrame,
 
 def subdivide_force(clusters: DataFrame, max_size: int,
                     cluster_col: str = "cluster_id") -> DataFrame:
-    """C10 ForceStrategy analog: deterministic hash-bucket split of
+    """C10 ForceStrategy analog: deterministic round-robin split of
     every oversized cluster into ceil(size/max_size) buckets — always
-    makes progress, one distributed pass, no loop
-    (subdivision_engine_v3.py:522-598; our bucket rule replaces its
-    PCA+KMeans because guaranteed progress is the only contract)."""
+    makes progress AND always bounds the result (every bucket gets
+    floor/ceil(size/k) members), one distributed pass, no loop
+    (subdivision_engine_v3.py:522-598; the reference's PCA+KMeans is
+    replaced because guaranteed progress is the only contract here —
+    a hash split is NOT guaranteed: all members of a small cluster can
+    collide into one bucket, and being deterministic it would never
+    unstick).
+
+    The row_number window is partitioned BY CLUSTER — each oversized
+    cluster sorts within one task. Bounded by the adaptive loop's
+    `force_above` routing at sane sizes; a pathological single cluster
+    of ~10^8+ members would need a two-level split (hash pre-salt,
+    then round-robin within salt)."""
+    from pyspark.sql import Window
+
     assign = _norm_assign(clusters, cluster_col)
-    sizes = (assign.where(clustered("cluster_key"))
-             .groupBy("cluster_key").agg(F.count(F.lit(1)).alias("size")))
-    j = assign.join(sizes.where(F.col("size") > max_size), "cluster_key", "left")
-    bucket = F.pmod(F.xxhash64("clip_id"),
-                    F.ceil(F.col("size") / max_size).cast("long"))
-    return j.select(
+    big = (assign.where(clustered("cluster_key"))
+           .groupBy("cluster_key").agg(F.count(F.lit(1)).alias("size"))
+           .where(F.col("size") > max_size))
+    # window only over the oversized clusters' members (semi-join
+    # first), never a sort of the whole assignment
+    members = assign.join(big, "cluster_key")
+    rn = F.row_number().over(
+        Window.partitionBy("cluster_key").orderBy("clip_id")) - 1
+    bucket = F.pmod(rn, F.ceil(F.col("size") / max_size).cast("long"))
+    sub = members.select(
         "clip_id",
-        F.when(F.col("size").isNotNull(),
-               F.concat(F.col("cluster_key"), F.lit("_f"), bucket))
-         .otherwise(F.col("cluster_key")).alias("cluster_key"))
+        F.concat(F.col("cluster_key"), F.lit("_f"), bucket).alias("new_key"),
+        F.lit(True).alias("_sub"))
+    return _merge_assign(assign, sub)
 
 
 # --------------------------------------------------------------------------

@@ -44,6 +44,8 @@ class PipelineResult:
     edges: DataFrame
     candidates: DataFrame
     stats: dict
+    subdivided: DataFrame | None = None  # (clip_id, cluster_key), only
+    #   when run(max_cluster_size=...) requested size-bounded output
 
 
 class DedupPipeline:
@@ -70,7 +72,8 @@ class DedupPipeline:
         self.store.log_partitions(run_id, name, part_rows)
         return df, rows
 
-    def run(self, clips: DataFrame, resume: bool = True) -> PipelineResult:
+    def run(self, clips: DataFrame, resume: bool = True,
+            max_cluster_size: int | None = None) -> PipelineResult:
         cfg = self.cfg
         run_id = self.store.next_run_id()
 
@@ -92,6 +95,12 @@ class DedupPipeline:
                 connected_components(edges.select("id_1", "id_2"), cfg),
                 cfg))
 
+        subdivided = None
+        if max_cluster_size is not None:
+            subdivided, _ = self._stage(
+                "clusters_sub", run_id, resume,
+                lambda: self._subdivide(clusters, edges, max_cluster_size))
+
         stats = {
             "n_clips": n_clips,
             "n_candidates": n_cands,
@@ -103,7 +112,28 @@ class DedupPipeline:
         self.store.log(run_id, "pipeline_done", time.time(), n_clips, 0, **stats)
         self.store.flush()
         return PipelineResult(clusters=clusters, edges=edges,
-                              candidates=cands, stats=stats)
+                              candidates=cands, stats=stats,
+                              subdivided=subdivided)
+
+    def _subdivide(self, clusters: DataFrame, edges: DataFrame,
+                   max_size: int) -> DataFrame:
+        """C6 post-stage: size-bound the cluster table via the adaptive
+        subdivision loop. Verified edges carry per-verdict score
+        scales; map them onto one [0, 1] similarity for the threshold
+        ladders: exact/substring -> 1.0, text -> jaccard, audio ->
+        1 - 10^(-SNR_dB/20) (the amplitude-accuracy of the PCM match:
+        30 dB -> .968, 40 dB -> .99 — monotone, bounded)."""
+        from ..operators.subdivide import subdivide_adaptive
+        score01 = F.when(
+            F.col("verdict") == "audio",
+            F.lit(1.0) - F.pow(F.lit(10.0), -F.col("score") / F.lit(20.0))
+        ).otherwise(F.coalesce(F.col("score"), F.lit(1.0)))
+        e = edges.select("id_1", "id_2", score01.alias("score"))
+        out, substats = subdivide_adaptive(
+            clusters, e, max_size, cfg=self.cfg,
+            high_threshold=self.cfg.jaccard_threshold)
+        self.last_subdivision_stats = substats
+        return out
 
     def model_stage(self, feats: DataFrame,
                     feature_cols: tuple[str, ...] = ("jaccard",),

@@ -113,3 +113,24 @@ def test_metrics_lineage(spark, tmpdir_session, result):
     stages = set(m["stage"])
     assert {"signed", "candidates", "edges", "clusters"} <= stages
     assert (m["rows"] >= 0).all() and (m["duration_s"] >= 0).all()
+
+
+def test_subdivision_post_stage(spark, corpus_paths, tmpdir_session, result):
+    """run(max_cluster_size=N) resumes the base stages and adds a
+    size-bounded clusters_sub checkpoint: every sub-cluster <= N,
+    noise untouched, members only ever move WITHIN their base cluster
+    (keys extend the parent's key)."""
+    clips_path, _ = corpus_paths
+    clips = spark.read.parquet(clips_path)
+    pipe = DedupPipeline(spark, os.path.join(tmpdir_session, "work"))
+    res = pipe.run(clips, resume=True, max_cluster_size=3)
+    assert res.subdivided is not None
+    sub = res.subdivided.toPandas()
+    base = result.clusters.toPandas()
+    sizes = sub[sub.cluster_key.notna()].groupby("cluster_key").size()
+    assert (sizes <= 3).all()
+    merged = sub.merge(base, on="clip_id")
+    moved = merged[merged.cluster_key.notna() & merged.cluster_id.notna()]
+    assert (moved.apply(lambda r: r.cluster_key.startswith(r.cluster_id), axis=1)).all()
+    # noise stays noise
+    assert merged[merged.cluster_id.isna()]["cluster_key"].isna().all()
