@@ -32,10 +32,22 @@ def _cos_expr(a: str, b: str):
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     max_queries: int = 10_000) -> DataFrame:
     """Exact cosine top-k: broadcast queries x corpus, window top-k.
 
+    INTENTIONALLY a broadcast nested-loop baseline — cost is
+    |queries| x |corpus| dot products. The guard bounds the broadcast
+    side so a caller cannot accidentally run it with a large query set
+    (use `lsh_topk`, the scale path, instead).
+
     Returns (query_id, neighbor_id, cosine, rank)."""
+    nq = queries.count()
+    if nq > max_queries:
+        raise ValueError(
+            f"brute_force_topk is the exact cartesian BASELINE: {nq} "
+            f"queries > max_queries={max_queries}. Use lsh_topk for "
+            f"large query sets, or raise max_queries explicitly.")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))

@@ -43,6 +43,17 @@ def _containing(columns: list[str], names: tuple[str, ...]) -> str | None:
     return None
 
 
+def address_concat(cols: list[str]):
+    """P4: join non-null address parts with single spaces and collapse
+    whitespace, as a native column expression (whole-stage codegen; the
+    reference does a per-row python join —
+    /root/reference/src/core/preprocess_engine.py:108-114)."""
+    from pyspark.sql import functions as F
+
+    joined = F.concat_ws(" ", *[F.col(c) for c in cols])  # skips NULLs
+    return F.trim(F.regexp_replace(joined, r"\s+", " "))
+
+
 def resolve_columns(columns: list[str]) -> dict:
     """Map a raw column list to the dedup roles. Missing roles map to
     None (address: empty list) — downstream stages degrade gracefully,

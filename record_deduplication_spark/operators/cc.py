@@ -137,6 +137,34 @@ def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) ->
     return children.unionByName(roots).distinct()
 
 
+def key_cocluster_edges(records: DataFrame, key_col: str,
+                        cfg: DedupConfig = DEFAULT_CONFIG,
+                        id_col: str = "clip_id") -> DataFrame:
+    """C11 domain-first clustering, Spark-first: records sharing a
+    non-null exact key must ALWAYS co-cluster. The reference
+    approximates this with feature-space boosting and sentinel values
+    inside its subdivision engine
+    (/root/reference/src/core/clustering/hierarchical/subdivision_engine_v3.py:15-238);
+    here it degenerates — as SURVEY §2.6 predicted — to connectivity
+    edges per key group, generated by the same skew-safe tiered pairer
+    the blocking stage uses (full pairs for small key groups, salted
+    chains + representative stitching for hot keys: LINEAR edges,
+    bounded task width). Union the result with the verified dup edges
+    before `connected_components` and CC guarantees the per-key
+    co-clustering by construction.
+
+    Returns (id_1, id_2)."""
+    from .blocking import pairs_within_blocks
+
+    members = (records
+               .where(F.col(key_col).isNotNull() & (F.col(key_col) != ""))
+               .select(F.col(id_col).alias("clip_id"),
+                       F.lit("key").alias("source"),
+                       F.xxhash64(F.lit("key"), F.col(key_col)).alias("bkey")))
+    return (pairs_within_blocks(members, cfg, materialize=False)
+            .select("id_1", "id_2").distinct())
+
+
 def assign_clusters(all_ids: DataFrame, components: DataFrame,
                     cfg: DedupConfig = DEFAULT_CONFIG,
                     densify: bool = False) -> DataFrame:

@@ -4,6 +4,7 @@ must agree (and both match known components)."""
 from dataclasses import replace
 
 import pytest
+from pyspark.sql import functions as F
 
 from record_deduplication_spark.config import DEFAULT_CONFIG
 from record_deduplication_spark.operators.cc import assign_clusters, connected_components
@@ -72,3 +73,37 @@ def test_assign_clusters_densify_dense_and_deterministic(spark):
     assert real == list(range(25))
     assert (a.sort_values("clip_id").reset_index(drop=True)
              .equals(b.sort_values("clip_id").reset_index(drop=True)))
+
+
+def test_key_cocluster_edges_small_and_hot(spark):
+    """C11: same-key records end in one component — both through the
+    small-block full-pair tier and the salted-chain hot tier — and
+    different keys never connect."""
+    from dataclasses import replace
+    from record_deduplication_spark.operators.cc import key_cocluster_edges
+
+    rows = ([(f"a{i:02d}", "acme.com") for i in range(20)]       # hot (cap 4)
+            + [(f"b{i}", "beta.io") for i in range(3)]           # small
+            + [("c0", None), ("c1", "")])                        # no key
+    recs = spark.createDataFrame(rows, "clip_id string, dom string")
+    cfg = replace(DEFAULT_CONFIG, max_block_full_pairs=4,
+                  hot_block_salt_target=8, hot_block_neighbor_w=2)
+    edges = key_cocluster_edges(recs, "dom", cfg)
+    comps = connected_components(
+        edges.select(F.col("id_1"), F.col("id_2")), DEFAULT_CONFIG)
+    got = _components(comps)
+    assert frozenset(f"a{i:02d}" for i in range(20)) in got
+    assert frozenset(["b0", "b1", "b2"]) in got
+    assert len(got) == 2  # null/empty keys produce no edges
+    # linear edge count, not O(m^2): 20-member hot key stays small
+    assert edges.count() < 20 * 6 + 3
+
+
+def test_address_concat_expr(spark):
+    from record_deduplication_spark.functions.columns import address_concat
+    df = spark.createDataFrame(
+        [("12  Main St", None, "Springfield"), (None, None, None)],
+        "street string, unit string, city string")
+    out = [r.a for r in df.select(
+        address_concat(["street", "unit", "city"]).alias("a")).collect()]
+    assert out == ["12 Main St Springfield", ""]
