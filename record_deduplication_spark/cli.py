@@ -90,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reuse completed stage checkpoints (default: on)")
     ap.add_argument("--set", dest="overrides", action="append", default=[],
                     metavar="KEY=VALUE", help="DedupConfig override, repeatable")
+    ap.add_argument("--max-cluster-size", type=int, default=None,
+                    help="run the C6 adaptive subdivision post-stage and "
+                         "commit a size-bounded clusters_sub table")
     ap.add_argument("--master", default=None,
                     help="only for local runs; under spark-submit leave unset")
     ap.add_argument("--json-out", default=None,
@@ -124,7 +127,8 @@ def main(argv: list[str] | None = None) -> int:
              and not args.input.endswith(".parquet")
              else reader.parquet(args.input))
 
-    res = DedupPipeline(spark, args.workdir, cfg).run(clips, resume=args.resume)
+    res = DedupPipeline(spark, args.workdir, cfg).run(
+        clips, resume=args.resume, max_cluster_size=args.max_cluster_size)
     stats = {"config": cfg.to_dict(), **res.stats}
     line = json.dumps(stats)
     print(line)

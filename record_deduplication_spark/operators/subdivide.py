@@ -440,9 +440,23 @@ def subdivide_adaptive(clusters: DataFrame, edges: DataFrame, max_size: int,
                 level["usage"]["ladder_aggressive"] = len(aggr) - len(rem)
                 still = (still - set(aggr)) | rem
             if still and features is not None:
-                assign = run("kmeans", sorted(still), assign)
-                level["usage"]["kmeans"] = len(still)
-                still = set()
+                targets = sorted(still)
+                assign = run("kmeans", targets, assign).localCheckpoint(eager=True)
+                # KMeans is NOT guaranteed to split (identical feature
+                # vectors collapse every center onto one point: every
+                # member lands in bucket "<key>_k0", RENAMED but not
+                # split) — verify against the targets AND their _k
+                # descendants, and route survivors to force
+                over2 = {r.cluster_key for r in
+                         (assign.where(clustered("cluster_key"))
+                          .groupBy("cluster_key")
+                          .agg(F.count(F.lit(1)).alias("size"))
+                          .where(F.col("size") > max_size).collect())}
+                tset = set(targets)
+                still = {k for k in over2
+                         if k in tset
+                         or any(k.startswith(t + "_k") for t in tset)}
+                level["usage"]["kmeans"] = len(targets) - len(still)
             if still and use_force:
                 assign = run("force", sorted(still), assign)
                 level["usage"]["force"] = level["usage"].get("force", 0) + len(still)

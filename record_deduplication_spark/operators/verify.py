@@ -38,15 +38,20 @@ from ..functions import audio as A
 from ..functions import text as X
 from ..functions.suffix_array import longest_common_run
 
-# survivor-id count up to which the audio payload fetch uses a
-# collected isin() predicate (parquet scan pruning) instead of a
-# broadcast semi-join (full scan); see verify_audio.
+# survivor-id count per In-predicate for the audio payload fetch
+# (parquet scan pruning); see verify_audio.
 # Capped at 1k: codegen splits a giant In-predicate into thousands of
 # chained helper methods and the task thread overflows its stack
 # (observed as flaky scala.MatchError(StackOverflowError) at ~5-10k
-# literals); above the cap the broadcast path costs a full scan but
-# never a crash.
+# literals). Larger survivor sets are fetched as a UNION of up to
+# _IDS_PUSHDOWN_BATCHES scans, each with its own <=1k-literal pushed
+# In — total IO stays proportional to the matched pages (one giant In
+# would read the same pages but risk the codegen stack), and the
+# union's scans all run in one stage at full parallelism. Beyond
+# batches*max ids the broadcast path takes over: a full scan of the
+# bytes column, but bytes still never shuffle.
 _IDS_PUSHDOWN_MAX = 1_000
+_IDS_PUSHDOWN_BATCHES = 32
 
 
 def jaccard_udf(cfg: DedupConfig):
@@ -169,21 +174,31 @@ def verify_audio(pending: DataFrame, clips: DataFrame, cfg: DedupConfig) -> Data
     # SURVEY.md §7.3 forbids — measured locally it was the pipeline's
     # single biggest stage). Prune the payload scan to the survivors:
     #
-    # * small survivor set (the common case: post-LSH, post-Hamming,
-    #   equal transcripts): collect the ids and filter with isin() —
-    #   the In-predicate pushes into the parquet scan, so row-group
-    #   min/max stats SKIP most of the binary column entirely
-    #   (a broadcast join never prunes the scan: every byte is still
-    #   read and decompressed before the join drops it);
-    # * large survivor set (pathological corpus): broadcast semi-join —
-    #   full scan, but bytes still never shuffle.
+    # * small/medium survivor set (the common case: post-LSH,
+    #   post-Hamming, equal transcripts): collect the ids and filter
+    #   with pushed In-predicates — row-group/page statistics SKIP
+    #   most of the binary column entirely (a broadcast join never
+    #   prunes the scan: every byte is still read and decompressed
+    #   before the join drops it; measured 5x slower at 48k clips,
+    #   and FLAT across core counts because it is scan-bound). Sets
+    #   beyond one predicate's literal budget are fetched as a union
+    #   of <=1k-literal scans (see _IDS_PUSHDOWN_BATCHES).
+    # * very large survivor set (pathological corpus): broadcast
+    #   semi-join — full scan, but bytes still never shuffle.
     ids = (pre.select(F.col("id_1").alias("clip_id"))
            .unionByName(pre.select(F.col("id_2").alias("clip_id")))
            .distinct())
-    id_rows = ids.limit(_IDS_PUSHDOWN_MAX + 1).collect()
+    max_ids = _IDS_PUSHDOWN_MAX * _IDS_PUSHDOWN_BATCHES
+    id_rows = ids.limit(max_ids + 1).collect()
     payload = clips.select("clip_id", "bytes")
-    if len(id_rows) <= _IDS_PUSHDOWN_MAX:
-        sub = payload.where(F.col("clip_id").isin([r.clip_id for r in id_rows]))
+    if len(id_rows) <= max_ids:
+        # sorted + chunked: consecutive ids per scan keep each batch's
+        # matched pages clustered on an id-ordered corpus layout
+        idlist = sorted(r.clip_id for r in id_rows)
+        sub = payload.where(F.lit(False))  # empty survivor set
+        for i in range(0, len(idlist), _IDS_PUSHDOWN_MAX):
+            sub = sub.unionByName(payload.where(
+                F.col("clip_id").isin(idlist[i:i + _IDS_PUSHDOWN_MAX])))
     else:
         sub = payload.join(F.broadcast(ids), "clip_id")
     # the filtered scan keeps the source's partitioning (hundreds of

@@ -182,3 +182,23 @@ def test_subdivide_adaptive_no_progress_break(spark):
                                        use_force=False, max_depth=10)
     assert stats["stopped"] == "no_progress"
     assert set(assign.toPandas()["cluster_key"]) == {"big"}
+
+
+def test_subdivide_adaptive_kmeans_degenerate_falls_to_force(spark):
+    """Identical feature vectors collapse KMeans onto one center (no
+    split); the loop must detect that and still bound sizes via
+    force."""
+    clusters = spark.createDataFrame(
+        [(f"c{i:02d}", "big") for i in range(20)],
+        "clip_id string, cluster_id string")
+    feats = spark.createDataFrame(
+        [(f"c{i:02d}", [0.0, 0.0]) for i in range(20)],
+        "clip_id string, embedding array<double>")
+    empty = spark.createDataFrame([], "id_1 string, id_2 string, score double")
+    assign, stats = subdivide_adaptive(clusters, empty, max_size=6,
+                                       features=feats, max_depth=8,
+                                       timeout_s=60.0)
+    sizes = assign.groupBy("cluster_key").count().toPandas()
+    assert (sizes["count"] <= 6).all()
+    assert stats["stopped"] == "converged"
+    assert any(lv["usage"].get("force") for lv in stats["levels"])
