@@ -144,18 +144,23 @@ def map_distinct(df: DataFrame, col: str, fn, out_col: str | None = None) -> Dat
 def calibrate_threshold(scored_pairs: DataFrame, score_col: str = "jaccard",
                         quantile: float = 0.6, sample_frac: float = 0.1,
                         floor: float | None = None, ceil: float | None = None,
-                        seed: int = 42) -> float:
+                        seed: int = 42, exact: bool = False) -> float:
     """C5-analog: data-driven similarity threshold from sampled pair-
     score quantiles (the reference derives adaptive DBSCAN eps from
     k-NN distance percentiles on a sample —
     /root/reference/src/core/clustering/adaptive_eps.py:19-179; our
     geometry-free analog calibrates the verify threshold the same way:
-    sample -> percentile_approx -> clamp)."""
+    sample -> percentile_approx -> clamp). exact=True switches to the
+    exact interpolating percentile (one shuffle of the sampled scores;
+    use on bounded samples when the value must be engine-portable —
+    Spark `percentile` and DuckDB `quantile_cont` interpolate
+    identically, percentile_approx has no cross-engine twin)."""
     sampled = scored_pairs.where(F.col(score_col).isNotNull())
     if sample_frac < 1.0:
         sampled = sampled.sample(fraction=sample_frac, seed=seed)
-    row = sampled.agg(
-        F.percentile_approx(score_col, quantile).alias("q")).collect()[0]
+    agg = (F.percentile(score_col, F.lit(quantile)) if exact
+           else F.percentile_approx(score_col, quantile))
+    row = sampled.agg(agg.alias("q")).collect()[0]
     t = float(row.q) if row.q is not None else (floor or 0.0)
     if floor is not None:
         t = max(t, floor)

