@@ -88,13 +88,18 @@ def pairs_within_blocks(members: DataFrame, cfg: DedupConfig,
       (chains are connected, reps connect chains), so CC-level recall
       survives while pair count and per-task width stay LINEAR.
     """
+    if materialize:
+        # the member subtree (explode + xxhash over signed) feeds two
+        # different exchanges (the size agg and the join probe) — with
+        # no common exchange to reuse, Spark would compute it twice.
+        # Pin it once (on a real cluster: persist/checkpoint).
+        members = members.localCheckpoint(eager=True)
     sizes = members.groupBy("source", "bkey").agg(F.count(F.lit(1)).alias("bsz"))
     m = (members
          .join(sizes.where(F.col("bsz") > 1), ["source", "bkey"]))
     if materialize:
         # both tiers (and the hot tier's self-joins, once per side)
-        # consume the sized member table; pin it once (on a real
-        # cluster: persist/checkpoint)
+        # consume the sized member table; pin it once too
         m = m.localCheckpoint(eager=True)
 
     cap, nb = cfg.max_block_full_pairs, cfg.hot_block_neighbor_w
