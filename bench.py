@@ -373,8 +373,14 @@ def scaling(n_clips: int = 24000, reps: int = 3,
             prev = json.load(open(art_path))
         except ValueError:
             prev = {}
+        from record_deduplication_spark.datagen import DATAGEN_VERSION
         if (prev.get("n_clips") == n_clips
                 and prev.get("clip_dur_ms") == list(SCALING_DUR)
+                # corpus LAYOUT is part of the measured configuration:
+                # reps against a different physical layout (row-group /
+                # page-index spec) are not the same input and must not
+                # be merged (v2-layout history: BENCH/scaling_layout_v2.json)
+                and prev.get("datagen_version", 2) == DATAGEN_VERSION
                 and set(prev.get("all_reps_clips_per_sec", {}))
                 == {f"local[{lo}]", f"local[{hi}]"}):
             for c in (lo, hi):
@@ -389,10 +395,12 @@ def scaling(n_clips: int = 24000, reps: int = 3,
     t_lo, t_hi = max(runs[lo]), max(runs[hi])
     speedup = t_hi / t_lo
     eff = speedup / (hi / lo)
+    from record_deduplication_spark.datagen import DATAGEN_VERSION as _dv
     result = {
         "metric": f"scaling_efficiency_local{lo}_to_local{hi}",
         "n_clips": n_clips,
         "clip_dur_ms": list(SCALING_DUR),
+        "datagen_version": _dv,
         "throughput_clips_per_sec": {f"local[{lo}]": t_lo, f"local[{hi}]": t_hi},
         "all_reps_clips_per_sec": {f"local[{lo}]": runs[lo], f"local[{hi}]": runs[hi]},
         "aggregation": ("best over ALL interleaved reps, cumulative across "

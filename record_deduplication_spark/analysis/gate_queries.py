@@ -1103,6 +1103,91 @@ FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type
 """)
 
 
+def _map_distinct_spark(spark: SparkSession) -> DataFrame:
+    """P9 engine op (operators/stats.map_distinct): apply a driver-side
+    function once per DISTINCT value of a column, broadcast the mapping
+    back (the reference calls an external API per unique company name
+    this way, /root/reference/src/core/preprocess_engine.py:158-167).
+    Gated with a pure deterministic fn so the DuckDB twin can express
+    the same mapping in SQL."""
+    from pyspark.sql import functions as F
+
+    from ..operators.stats import map_distinct
+
+    cust = spark.table("customer").select("c_custkey", "c_mktsegment")
+    mapped = map_distinct(cust, "c_mktsegment",
+                          lambda v: f"{v.lower()}#{len(v)}", out_col="seg_tag")
+    return (mapped.groupBy("seg_tag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("c_custkey").alias("min_key"))
+            .orderBy("seg_tag"))
+
+
+_fq("distinct_value_map", _map_distinct_spark, """
+SELECT lower(c_mktsegment) || '#' || length(c_mktsegment) AS seg_tag,
+       count(*) AS n_rows,
+       min(c_custkey) AS min_key
+FROM customer GROUP BY 1 ORDER BY seg_tag
+""")
+
+
+def _pair_expand_spark(spark: SparkSession) -> DataFrame:
+    """R1 engine op (operators/stats.expand_pairs): attach both
+    records' context columns to a pair list with _1/_2 suffixes
+    (reference does a positional pandas concat,
+    /root/reference/src/core/reporting_engine.py:92-101)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.stats import expand_pairs
+
+    docs = spark.table("documents")
+    pairs = (docs.where(F.col("doc_id") % 3 == 0)
+             .select(F.col("doc_id").alias("id_1"),
+                     (F.col("doc_id") + 1).alias("id_2")))
+    records = docs.select("doc_id", F.length("text").cast("long").alias("tlen"))
+    out = expand_pairs(pairs, records, id_col="doc_id",
+                       context_cols=("tlen",))
+    return out.select("id_1", "id_2", "tlen_1", "tlen_2").orderBy("id_1")
+
+
+_fq("pair_expand_context", _pair_expand_spark, """
+SELECT p.id_1, p.id_2,
+       a.len AS tlen_1, b.len AS tlen_2
+FROM (SELECT doc_id AS id_1, doc_id + 1 AS id_2 FROM documents
+      WHERE doc_id % 3 = 0) p
+JOIN (SELECT doc_id, length(text)::BIGINT AS len FROM documents) a
+  ON p.id_1 = a.doc_id
+JOIN (SELECT doc_id, length(text)::BIGINT AS len FROM documents) b
+  ON p.id_2 = b.doc_id
+ORDER BY id_1
+""")
+
+
+def _threshold_calibration_spark(spark: SparkSession) -> DataFrame:
+    """C5 engine op (operators/stats.calibrate_threshold, exact mode):
+    data-driven verify threshold from pair-score quantiles (reference
+    derives adaptive DBSCAN eps from k-NN distance percentiles,
+    /root/reference/src/core/clustering/adaptive_eps.py:19-179). The
+    exact interpolating percentile is engine-portable: Spark
+    `percentile` and DuckDB `quantile_cont` interpolate identically."""
+    from pyspark.sql import functions as F
+
+    from ..operators.stats import calibrate_threshold
+
+    scored = (spark.table("documents")
+              .select(((F.col("doc_id") % 97) / 96.0).alias("score")))
+    t = calibrate_threshold(scored, score_col="score", quantile=0.6,
+                            sample_frac=1.0, floor=0.2, ceil=0.9,
+                            exact=True)
+    return spark.createDataFrame([(round(t, 6),)], "threshold double")
+
+
+_fq("threshold_calibration", _threshold_calibration_spark, """
+SELECT round(least(greatest(q, 0.2), 0.9), 6) AS threshold
+FROM (SELECT quantile_cont((doc_id % 97) / 96.0, 0.6) AS q FROM documents)
+""")
+
+
 # --------------------------------------------------------------------------
 # Runners
 # --------------------------------------------------------------------------

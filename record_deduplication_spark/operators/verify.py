@@ -107,10 +107,16 @@ def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFr
     broadcast-sized far longer than the string context would be (at
     local bench scale the context joins plan as broadcast hash joins —
     the 790k-row candidate side never shuffles at all)."""
+    # NULL-propagating hashes: xxhash64(NULL) is the SEED, not NULL, so
+    # a bare hash would make two null-sha (or null-norm) rows compare
+    # equal; the when() keeps the old equality semantics (NULL = never
+    # equal, like `a = b` on nulls)
+    def _h(c: str):
+        return F.when(F.col(c).isNotNull(), F.xxhash64(c))
     ctx = signed.select(
         "clip_id",
-        F.xxhash64("transcript_norm").alias("normh"),
-        F.xxhash64("sha_bytes").alias("shah"),
+        _h("transcript_norm").alias("normh"),
+        _h("sha_bytes").alias("shah"),
         (F.coalesce(F.col("transcript_norm"), F.lit("")) != "").alias("ne"),
         "pcm_fp")
     p = (cands
@@ -127,8 +133,12 @@ def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFr
 
     has = lambda s: F.array_contains(F.col("sources"), s)  # noqa: E731
     textish = has("lsh") | has("substring")
-    exact_ok = ((F.col("shah_1") == F.col("shah_2"))
-                & (F.col("normh_1") == F.col("normh_2")))
+    # coalesce to FALSE: with a null sha/norm on one side the equality
+    # is NULL, and a NULL predicate would drop the row from BOTH the
+    # needs_udf and ~needs_udf branches (three-valued logic)
+    exact_ok = F.coalesce((F.col("shah_1") == F.col("shah_2"))
+                          & (F.col("normh_1") == F.col("normh_2")),
+                          F.lit(False))
     needs_udf = textish & F.col("ne_1") & F.col("ne_2") & ~exact_ok
 
     # pairs that need no string UDF pass straight through (narrow rows,
