@@ -1188,6 +1188,81 @@ FROM (SELECT quantile_cont((doc_id % 97) / 96.0, 0.6) AS q FROM documents)
 """)
 
 
+def _jaro_winkler_spark(spark: SparkSession) -> DataFrame:
+    """F1 engine kernel (functions/text.jaro_winkler via the Arrow UDF
+    in operators/verify.jaro_winkler_udf) under the hash gate against
+    DuckDB's built-in jaro_winkler_similarity. Both follow the standard
+    Winkler definition (p=0.1, max prefix 4, 0.7 boost threshold —
+    the reference scores with recordlinkage jarowinkler,
+    /root/reference/src/core/similarity_engine.py:76-78). Empty
+    strings are filtered: conventions for ''~'' differ (we say 1.0
+    like jellyfish, DuckDB says 0.0) and neither occurs in real
+    name-scoring. Verified equal on all 1 999 sf0.01 neighbor pairs
+    and 500 random fuzz pairs to 1e-9 before rounding."""
+    from pyspark.sql import functions as F
+
+    from ..operators.verify import jaro_winkler_udf
+
+    part = spark.table("part").select("p_partkey", "p_name")
+    a = part.select(F.col("p_partkey").alias("k"),
+                    F.col("p_name").alias("n1"))
+    b = part.select((F.col("p_partkey") - 1).alias("k"),
+                    F.col("p_name").alias("n2"))
+    jw = jaro_winkler_udf()
+    return (a.join(b, "k")
+            .where((F.length("n1") > 0) & (F.length("n2") > 0))
+            .select(F.col("k").alias("p_partkey"),
+                    F.round(jw("n1", "n2"), 6).alias("jw_sim"))
+            .orderBy("p_partkey"))
+
+
+_fq("jaro_winkler_pairs", _jaro_winkler_spark, """
+SELECT a.p_partkey,
+       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_sim
+FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+WHERE length(a.p_name) > 0 AND length(b.p_name) > 0
+ORDER BY a.p_partkey
+""")
+
+
+def _connectivity_validation_spark(spark: SparkSession) -> DataFrame:
+    """C12 engine op (operators/stats.validate_connectivity): count of
+    dup edges whose endpoints landed in different clusters (the
+    reference repairs these with a sampled loop,
+    /root/reference/src/core/clustering/connectivity_manager.py:18-173).
+    Gated on a deliberately WRONG assignment (cluster = doc_id % 7)
+    over the 192-vertex CC fixture so the count is non-zero and the
+    join logic — not just the zero invariant — is what hashes."""
+    from pyspark.sql import functions as F
+
+    from ..operators.stats import validate_connectivity
+
+    edges = spark.sql(_CC_EDGES_SPARK)
+    clusters = (spark.table("documents")
+                .where(F.col("doc_id") < 192)
+                .select(F.lpad(F.col("doc_id").cast("string"), 6, "0")
+                        .alias("clip_id"),
+                        (F.col("doc_id") % 7).alias("cluster_id")))
+    n = validate_connectivity(edges, clusters)
+    return spark.createDataFrame([(n,)], "violations bigint")
+
+
+_fq("connectivity_validation", _connectivity_validation_spark, """
+WITH e0 AS (
+  SELECT doc_id AS a, doc_id+1 AS b FROM documents
+  WHERE doc_id < 192 AND doc_id % 6 <> 5 AND doc_id + 1 < 192
+  UNION ALL
+  SELECT doc_id, doc_id+2 FROM documents
+  WHERE doc_id < 192 AND doc_id % 6 = 0 AND doc_id + 2 < 192
+  UNION ALL
+  SELECT doc_id, doc_id+6 FROM documents
+  WHERE doc_id < 192 AND doc_id % 24 = 2 AND doc_id + 6 < 192
+)
+SELECT count(*)::BIGINT AS violations
+FROM e0 WHERE (a % 7) <> (b % 7)
+""")
+
+
 # --------------------------------------------------------------------------
 # Runners
 # --------------------------------------------------------------------------
