@@ -1247,6 +1247,42 @@ def _connectivity_validation_spark(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([(n,)], "violations bigint")
 
 
+def _yeo_johnson_spark(spark: SparkSession) -> DataFrame:
+    """C3 engine op (operators/stats.yeo_johnson_col): the Yeo-Johnson
+    power transform as a native codegen expression (reference scales
+    clustering features with sklearn PowerTransformer,
+    /root/reference/src/core/clustering_engine.py:323-346). Fixed
+    lambdas 0.5 / 0.0 / 2.0 over a mixed-sign column exercise all four
+    piecewise branches; the driver-side MLE lambda fit is pytest-
+    verified (tests/test_scaling.py) — MLE is not SQL-expressible."""
+    from pyspark.sql import functions as F
+
+    from ..operators.stats import yeo_johnson_col
+
+    df = (spark.table("documents")
+          .select("doc_id",
+                  ((F.col("doc_id") % 21) - 10.0).alias("x")))
+    return (df.select(
+        "doc_id",
+        F.round(yeo_johnson_col("x", 0.5), 6).alias("yj_half"),
+        F.round(yeo_johnson_col("x", 0.0), 6).alias("yj_zero"),
+        F.round(yeo_johnson_col("x", 2.0), 6).alias("yj_two"))
+        .orderBy("doc_id"))
+
+
+_fq("yeo_johnson_transform", _yeo_johnson_spark, """
+WITH t AS (SELECT doc_id, (doc_id % 21) - 10.0 AS x FROM documents)
+SELECT doc_id,
+  round(CASE WHEN x >= 0 THEN (pow(x + 1.0, 0.5) - 1.0) / 0.5
+             ELSE -(pow(1.0 - x, 1.5) - 1.0) / 1.5 END, 6) AS yj_half,
+  round(CASE WHEN x >= 0 THEN ln(1.0 + x)
+             ELSE -(pow(1.0 - x, 2.0) - 1.0) / 2.0 END, 6) AS yj_zero,
+  round(CASE WHEN x >= 0 THEN (pow(x + 1.0, 2.0) - 1.0) / 2.0
+             ELSE -ln(1.0 - x) END, 6) AS yj_two
+FROM t ORDER BY doc_id
+""")
+
+
 _fq("connectivity_validation", _connectivity_validation_spark, """
 WITH e0 AS (
   SELECT doc_id AS a, doc_id+1 AS b FROM documents

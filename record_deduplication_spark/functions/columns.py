@@ -68,3 +68,15 @@ def resolve_columns(columns: list[str]) -> dict:
         "address": address,
         "id": _exact(columns, _ID_EXACT) or _containing(columns, _ID_SUB),
     }
+
+
+def coerce_digit_id(col: str):
+    """M6: align label/feature id dtypes by extracting the digit run
+    from a possibly-prefixed id ("rec_00123" -> 123L; NULL when no
+    digits). The reference regex-extracts + astypes the same way
+    (/root/reference/src/core/model_engine.py:173-193,281-299) — here
+    one regexp_extract expression, no UDF."""
+    from pyspark.sql import functions as F
+
+    digits = F.regexp_extract(F.col(col).cast("string"), "([0-9]+)", 1)
+    return F.when(digits != "", digits.cast("long"))

@@ -208,3 +208,57 @@ def subdivide_oversized(clusters: DataFrame, max_size: int,
                F.concat_ws("_", F.col("cluster_id"), bucket))
          .otherwise(F.col("cluster_id").cast("string"))
          .alias("cluster_key"))
+
+
+_YJ_EPS = 1e-9
+
+
+def yeo_johnson_col(col: str, lam: float):
+    """C3: the Yeo-Johnson transform as a native column expression
+    (whole-stage codegen; reference uses sklearn PowerTransformer,
+    /root/reference/src/core/clustering_engine.py:323-346). Piecewise
+    closed form — increasing in x, psi(0)=0, lam=1 is identity."""
+    x = F.col(col).cast("double")
+    if abs(lam) < _YJ_EPS:
+        pos = F.log1p(x)
+    else:
+        pos = (F.pow(x + 1.0, F.lit(lam)) - 1.0) / lam
+    if abs(lam - 2.0) < _YJ_EPS:
+        neg = -F.log1p(-x)
+    else:
+        neg = -(F.pow(1.0 - x, F.lit(2.0 - lam)) - 1.0) / (2.0 - lam)
+    return F.when(x >= 0, pos).otherwise(neg)
+
+
+def yeo_johnson(df: DataFrame, cols: list[str], standardize: bool = True,
+                sample_frac: float = 1.0, max_sample_rows: int = 1_000_000,
+                seed: int = 42) -> tuple[DataFrame, dict[str, float]]:
+    """C3 enhanced scaling: per-column MLE lambda fit on a bounded
+    driver sample, then transform + standardize applied as native
+    expressions in ONE projection (no UDF, no extra shuffle — the
+    mean/std pass is a single partial+final agg).
+
+    Returns (transformed df with the same column names, {col: lambda}).
+    The lambda fit is the only driver-side step, bounded by
+    max_sample_rows exactly like the reference's single-node
+    PowerTransformer.fit; at 100 TB the fit cost is constant while the
+    apply scales with the scan."""
+    from ..functions.scaling import fit_lambda
+
+    samp = df.select(*cols)
+    if sample_frac < 1.0:
+        samp = samp.sample(fraction=sample_frac, seed=seed)
+    pdf = samp.limit(max_sample_rows).toPandas()
+    lams = {c: fit_lambda(pdf[c].dropna().to_numpy(dtype="float64"))
+            for c in cols}
+    out = df.select(*[c for c in df.columns if c not in cols],
+                    *[yeo_johnson_col(c, lams[c]).alias(c) for c in cols])
+    if standardize:
+        stats = out.agg(*[F.avg(c).alias(f"{c}__mu") for c in cols],
+                        *[F.stddev_pop(c).alias(f"{c}__sd") for c in cols]
+                        ).first()
+        out = out.select(
+            *[c for c in out.columns if c not in cols],
+            *[((F.col(c) - float(stats[f"{c}__mu"]))
+               / (float(stats[f"{c}__sd"]) or 1.0)).alias(c) for c in cols])
+    return out, lams
