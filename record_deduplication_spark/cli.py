@@ -97,6 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="only for local runs; under spark-submit leave unset")
     ap.add_argument("--json-out", default=None,
                     help="write run stats JSON to this file (also printed)")
+    ap.add_argument("--report", default=None, metavar="PATH.xlsx",
+                    help="write the S4 review workbook (banded edge "
+                         "probabilities, highlighted manual_review sheet)")
     ap.add_argument("--make-pyfiles", metavar="DEST.zip",
                     help="just build the --py-files zip and exit")
     return ap
@@ -122,14 +125,28 @@ def main(argv: list[str] | None = None) -> int:
     active = SparkSession.getActiveSession()
     spark = active or build_session(app="dedup_submit", master=args.master)
 
-    reader = spark.read
-    clips = (reader.table(args.input) if "/" not in args.input
-             and not args.input.endswith(".parquet")
-             else reader.parquet(args.input))
+    if "/" not in args.input and not args.input.endswith(
+            (".parquet", ".csv", ".json", ".jsonl", ".xlsx", ".xls")):
+        clips = spark.read.table(args.input)
+    else:
+        from .sources.io import load_table
+        clips = load_table(spark, args.input)
 
     res = DedupPipeline(spark, args.workdir, cfg).run(
         clips, resume=args.resume, max_cluster_size=args.max_cluster_size)
     stats = {"config": cfg.to_dict(), **res.stats}
+    if args.report:
+        from pyspark.sql import functions as F
+
+        from .sources.io import write_review_report
+        # same verdict->[0,1] mapping the subdivision ladder uses
+        prob = F.when(
+            F.col("verdict") == "audio",
+            F.lit(1.0) - F.pow(F.lit(10.0), -F.col("score") / F.lit(20.0))
+        ).otherwise(F.coalesce(F.col("score"), F.lit(1.0)))
+        stats["report"] = write_review_report(
+            res.edges.select("id_1", "id_2", "verdict",
+                             prob.alias("prob")), args.report)
     line = json.dumps(stats)
     print(line)
     if args.json_out:

@@ -44,7 +44,8 @@ def test_spark_submit_pyfiles_e2e(tmp_path):
          "--input", str(corpus / "clips.parquet"),
          "--workdir", str(tmp_path / "work"),
          "--set", "num_perm=64",
-         "--json-out", str(out_json)],
+         "--json-out", str(out_json),
+         "--report", str(tmp_path / "review.xlsx")],
         cwd=str(tmp_path), env=env, capture_output=True, text=True,
         timeout=600)
     assert r.returncode == 0, r.stderr[-4000:]
@@ -56,6 +57,11 @@ def test_spark_submit_pyfiles_e2e(tmp_path):
     work = tmp_path / "work"
     for stage in ("signed", "candidates", "edges", "clusters"):
         assert (work / stage).exists()
+    # S4 review workbook written and readable with our own codec
+    from record_deduplication_spark.sources.xlsx import read_xlsx
+    hi = read_xlsx(str(tmp_path / "review.xlsx"), "high_confidence")
+    assert stats["report"]["high_confidence"]["count"] >= len(hi) >= 0
+    assert sum(b["count"] for b in stats["report"].values()) == stats["n_edges"]
 
 
 def test_config_overrides_typed():
