@@ -1299,6 +1299,55 @@ FROM e0 WHERE (a % 7) <> (b % 7)
 """)
 
 
+_REVIEW_PAIRS_SPARK = """
+SELECT lpad(CAST(doc_id AS STRING), 6, '0') AS id_1,
+       lpad(CAST(doc_id + 1 AS STRING), 6, '0') AS id_2,
+       CAST((doc_id * 7) % 101 AS DOUBLE) / 100.0 AS score,
+       CASE WHEN doc_id % 11 = 3 THEN ''
+            ELSE substr(text, 1, 10 + CAST(doc_id % 13 AS INT)) END AS company_1,
+       substr(text, 3, 8 + CAST(doc_id % 17 AS INT)) AS company_2
+FROM documents WHERE doc_id < 240
+"""
+
+
+def _batch_review_spark(spark: SparkSession) -> DataFrame:
+    """G5 engine op (operators/review.batch_review_fanout): mapInPandas
+    batch fan-out with an in-partition thread pool, driven by the
+    deterministic threshold_reviewer so every verdict is a pure
+    function of the pair — DuckDB can replay the reviewer's rule as
+    plain SQL (reference chunks pairs into batches of 10 on a
+    ThreadPoolExecutor, /root/reference/src/core/openai_deduplicator.py:316-364)."""
+    from ..operators.review import batch_review_fanout, threshold_reviewer
+
+    pairs = spark.sql(_REVIEW_PAIRS_SPARK)
+    v = batch_review_fanout(pairs, threshold_reviewer(0.9),
+                            batch_size=7, max_workers_per_partition=4)
+    return v.orderBy("pair_id")
+
+
+_fq("batch_review_fanout", _batch_review_spark, """
+WITH p AS (
+  SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_1,
+         lpad(CAST(doc_id + 1 AS VARCHAR), 6, '0') AS id_2,
+         CAST((doc_id * 7) % 101 AS DOUBLE) / 100.0 AS score,
+         CASE WHEN doc_id % 11 = 3 THEN ''
+              ELSE substr(text, 1, 10 + CAST(doc_id % 13 AS INT)) END AS company_1,
+         substr(text, 3, 8 + CAST(doc_id % 17 AS INT)) AS company_2
+  FROM documents WHERE doc_id < 240
+)
+SELECT id_1 || '-' || id_2 AS pair_id,
+       score >= 0.9 AS same_organization,
+       score AS confidence,
+       least(id_1, id_2) AS primary_record_id,
+       CASE WHEN length(company_1) > length(company_2) THEN company_1
+            WHEN length(company_2) > length(company_1) THEN company_2
+            WHEN company_2 > company_1 THEN company_1
+            ELSE company_2 END AS canonical_name,
+       FALSE AS error
+FROM p ORDER BY pair_id
+""")
+
+
 # --------------------------------------------------------------------------
 # Runners
 # --------------------------------------------------------------------------
