@@ -99,6 +99,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     G.register_views(spark, sf_dir)
+    # warm-up OUTSIDE the timed region: first-job JVM spin-up, parquet
+    # footer reads, and Python-worker fork otherwise land entirely on
+    # whichever query happens to run first
+    _warm_workers(spark, int(cpus))
+    for t in ("documents", "orders", "events"):
+        spark.sql(f"SELECT count(*) FROM {t}").collect()
     for name in HEADLINE:
         t0 = time.time()
         spark.sql(G.PAIRED_SQL[name][0]).collect()
