@@ -5,7 +5,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from record_deduplication_spark.analysis.ann import brute_force_topk, lsh_topk
+from record_deduplication_spark.analysis.ann import (
+    brute_force_topk, fit_ivf_centroids, ivf_topk, lsh_topk)
 from record_deduplication_spark.analysis.multimodal import (
     decode_codec, extract_audio_features, payload_stats)
 from record_deduplication_spark.analysis.textstats import (
@@ -59,6 +60,45 @@ def test_lsh_topk_recall_vs_exact(emb):
     a = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(e & a) / len(e)
     assert recall >= 0.7, f"LSH ANN recall {recall}"  # probe-limited, tunable
+
+
+def test_ivf_topk_recall_vs_exact(emb):
+    q = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=3).toPandas()
+    # sf0.001 embeddings are near-uniform (no cluster structure), the
+    # hardest case for a coarse quantizer — probe half the cells
+    approx = ivf_topk(emb, q, k=3, n_cells=16, n_probe=8).toPandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"IVF ANN recall {recall}"
+    # at full probe depth IVF degenerates to exact — recall 1.0
+    full = ivf_topk(emb, q, k=3, n_cells=8, n_probe=8).toPandas()
+    f = set(zip(full["query_id"], full["neighbor_id"]))
+    assert f == e
+    # ranks well-formed, no self matches
+    assert approx.groupby("query_id")["rank"].max().le(3).all()
+    assert (approx["query_id"] != approx["neighbor_id"]).all()
+
+
+def test_ivf_centroids_deterministic_and_bounded(emb):
+    c1 = fit_ivf_centroids(emb, n_cells=8, sample_n=200, seed=7)
+    c2 = fit_ivf_centroids(emb, n_cells=8, sample_n=200, seed=7)
+    assert (c1 == c2).all() and c1.shape[0] == 8
+    # unit-norm rows (spherical k-means)
+    import numpy as np
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_corpus_stored_once(emb):
+    """The IVF bucket table must hold each corpus vector exactly once
+    (the 1x-storage contract vs lsh_topk's n_tables replication)."""
+    from record_deduplication_spark.analysis.ann import _probe_cells_udf
+    c = fit_ivf_centroids(emb, n_cells=8)
+    assign = _probe_cells_udf(c, 1)
+    cells = emb.select("vec_id", assign(F.col("embedding"))[0].alias("cell"))
+    assert cells.count() == cells.select("vec_id").distinct().count() == emb.count()
+    assert cells.select("cell").distinct().count() <= 8
 
 
 def test_multimodal_real_wav(spark, tmpdir_session):
