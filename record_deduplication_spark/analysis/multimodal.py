@@ -93,6 +93,108 @@ def extract_audio_features(clips: DataFrame, n_frames: int = 16,
             .mapInPandas(_extract, schema=FEATURE_SCHEMA))
 
 
+def resample_clips(clips: DataFrame, target_sr: int,
+                   allow_fake: bool = False) -> DataFrame:
+    """Resize analog for audio: re-encode every payload at `target_sr`
+    (linear-interpolation resample, functions/audio.resample_linear).
+
+    Same schema out as in — (clip_id, bytes, sr_hz, dur_ms, codec) —
+    so the result drops into any pipeline stage. One mapInPandas pass;
+    the binary column is consumed and re-emitted inside the task,
+    never shuffled (write the result to a table rather than joining it
+    wide). Already-at-rate clips pass through byte-identical."""
+    out_schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ])
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("clip_id", "bytes", "sr_hz",
+                                    "dur_ms", "codec")}
+            for cid, codec, data, sr in zip(pdf["clip_id"], pdf["codec"],
+                                            pdf["bytes"], pdf["sr_hz"]):
+                b = bytes(data) if data is not None else b""
+                try:
+                    pcm, sr_in = decode_codec(codec, b)
+                    out_codec = codec
+                except NotImplementedError:
+                    if not allow_fake:
+                        raise
+                    pcm, sr_in = _fake_decode(b), int(sr)
+                    out_codec = "pcm_s16le"  # fake decodes re-encode as wav
+                if sr_in == target_sr and out_codec == codec:
+                    enc = b
+                else:
+                    enc = A.encode_wav(
+                        A.resample_linear(pcm, sr_in, target_sr), target_sr)
+                rows["clip_id"].append(cid)
+                rows["bytes"].append(enc)
+                rows["sr_hz"].append(target_sr)
+                rows["dur_ms"].append(int(round(
+                    1000.0 * (pcm.size / sr_in))) if sr_in else 0)
+                rows["codec"].append(out_codec)
+            yield pd.DataFrame(rows)
+
+    return (clips.select("clip_id", "codec", "bytes", "sr_hz")
+            .mapInPandas(_resample, schema=out_schema))
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("start_ms", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),  # zero-crossing rate
+])
+
+
+def sample_frames(clips: DataFrame, frame_ms: int = 1000,
+                  hop_ms: int | None = None,
+                  allow_fake: bool = True) -> DataFrame:
+    """Frame-sample analog (video frame extraction ≙ audio windowing):
+    one row per `frame_ms` window at `hop_ms` stride with per-window
+    features. The explode happens INSIDE the task on the decoded
+    floats — the payload itself never multiplies; output rows are a
+    few doubles each, safe to shuffle/aggregate downstream."""
+    hop = hop_ms or frame_ms
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("clip_id", "frame_idx", "start_ms",
+                                    "rms", "peak", "zcr")}
+            for cid, codec, data, sr in zip(pdf["clip_id"], pdf["codec"],
+                                            pdf["bytes"], pdf["sr_hz"]):
+                b = bytes(data) if data is not None else b""
+                try:
+                    pcm, sr_in = decode_codec(codec, b)
+                except NotImplementedError:
+                    if not allow_fake:
+                        raise
+                    pcm, sr_in = _fake_decode(b), int(sr)
+                win = max(1, int(sr_in * frame_ms / 1000))
+                step = max(1, int(sr_in * hop / 1000))
+                for i, s in enumerate(range(0, max(1, pcm.size - win + 1),
+                                            step)):
+                    seg = pcm[s:s + win]
+                    rows["clip_id"].append(cid)
+                    rows["frame_idx"].append(i)
+                    rows["start_ms"].append(int(s * 1000 / sr_in))
+                    rows["rms"].append(float(np.sqrt((seg ** 2).mean())))
+                    rows["peak"].append(float(np.abs(seg).max()))
+                    rows["zcr"].append(float(
+                        (np.diff(np.signbit(seg)) != 0).mean()) if seg.size > 1
+                        else 0.0)
+            yield pd.DataFrame(rows)
+
+    return (clips.select("clip_id", "codec", "bytes", "sr_hz")
+            .mapInPandas(_frames, schema=FRAME_SCHEMA))
+
+
 def payload_stats(clips: DataFrame) -> DataFrame:
     """Pure-expression metadata pass over the binary column (no Python):
     payload sizes and integrity hash by codec."""

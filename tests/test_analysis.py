@@ -8,7 +8,8 @@ from pyspark.sql import functions as F
 from record_deduplication_spark.analysis.ann import (
     brute_force_topk, fit_ivf_centroids, ivf_topk, lsh_topk)
 from record_deduplication_spark.analysis.multimodal import (
-    decode_codec, extract_audio_features, payload_stats)
+    decode_codec, extract_audio_features, payload_stats, resample_clips,
+    sample_frames)
 from record_deduplication_spark.analysis.textstats import (
     add_text_stats, rolling_fingerprint)
 
@@ -99,6 +100,47 @@ def test_ivf_corpus_stored_once(emb):
     cells = emb.select("vec_id", assign(F.col("embedding"))[0].alias("cell"))
     assert cells.count() == cells.select("vec_id").distinct().count() == emb.count()
     assert cells.select("cell").distinct().count() <= 8
+
+
+def test_resample_clips_preserves_tone(spark):
+    import numpy as np
+    from record_deduplication_spark.functions import audio as A
+    sr, f0 = 16000, 440.0
+    t = np.arange(sr) / sr  # 1 s
+    pcm = 0.4 * np.sin(2 * np.pi * f0 * t)
+    df = spark.createDataFrame(
+        [("tone", A.encode_wav(pcm, sr), sr, 1000, "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    out = resample_clips(df, 8000).collect()[0]
+    assert out.sr_hz == 8000 and out.codec == "pcm_s16le"
+    assert out.dur_ms == 1000
+    pcm2, sr2 = A.decode_wav(bytes(out.bytes))
+    assert sr2 == 8000 and abs(pcm2.size - 8000) <= 2
+    # dominant frequency survives the rate change
+    spec = np.abs(np.fft.rfft(pcm2))
+    peak_hz = np.argmax(spec) * sr2 / pcm2.size
+    assert abs(peak_hz - f0) < 5, peak_hz
+    # already-at-rate clips pass through byte-identical
+    same = resample_clips(df, sr).collect()[0]
+    assert bytes(same.bytes) == bytes(df.collect()[0].bytes)
+
+
+def test_sample_frames_windows(spark):
+    import numpy as np
+    from record_deduplication_spark.functions import audio as A
+    sr = 8000
+    pcm = np.linspace(-0.5, 0.5, sr * 3)  # 3 s ramp
+    df = spark.createDataFrame(
+        [("ramp", A.encode_wav(pcm, sr), sr, 3000, "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    fr = sample_frames(df, frame_ms=1000, hop_ms=500).toPandas() \
+        .sort_values("frame_idx").reset_index(drop=True)
+    # (3 s - 1 s) / 0.5 s + 1 = 5 windows
+    assert len(fr) == 5
+    assert fr["start_ms"].tolist() == [0, 500, 1000, 1500, 2000]
+    assert fr["rms"].between(0, 1).all() and fr["zcr"].between(0, 1).all()
+    # ramp magnitude grows toward the edges: middle window quietest
+    assert fr["rms"].idxmin() == 2
 
 
 def test_multimodal_real_wav(spark, tmpdir_session):
