@@ -81,6 +81,69 @@ def codec_counters(stream: DataFrame, window: str = "1 minute") -> DataFrame:
                  F.sum(F.length("bytes").cast("bigint")).alias("bytes_in")))
 
 
+NEARDUP_OUT_SCHEMA = ("clip_id string, block_key string, fp bigint, "
+                      "novel boolean, n_seen int")
+
+
+def near_dup_suppress_stream(stream: DataFrame, hamming_k: int = 3,
+                             max_state_fps: int = 256,
+                             fp_col: str = "fp",
+                             key_col: str = "block_key") -> DataFrame:
+    """Custom STATEFUL near-dup suppression (`applyInPandasWithState`).
+
+    ``dropDuplicatesWithinWatermark`` only does exact keys; near-dup
+    needs "is this fingerprint within Hamming-k of anything seen in
+    this block before, across micro-batches" — a custom stateful
+    operator. State per block key = the fingerprints seen so far,
+    hard-bounded to the `max_state_fps` most recent so the store
+    cannot grow with stream lifetime. Each arriving clip is marked
+    `novel` iff no stored fingerprint is within Hamming-k; novel
+    fingerprints join the state.
+
+    Scale shape: state is per-BLOCK (the LSH/SimHash band key the
+    batch pipeline also blocks on), so lookups are tiny-list scans,
+    the shuffle key equals the blocking key, and hot blocks are
+    bounded by `max_state_fps` — the same salting applies upstream if
+    a band is pathological.
+
+    Environment limits pin this to the legacy API + size-bounded
+    state (both verified by repro in this container, PySpark 4.1.2):
+    `transformWithStateInPandas` (which would give RocksDB ListState
+    + per-state TTL) needs `google.protobuf`, absent here; and
+    `GroupStateTimeout.ProcessingTimeTimeout` NPEs when the runner
+    plans the extra timeout-handling batch (SparkPlan.session() null
+    in FlatMapGroupsInPandasWithStateExec). On a cluster with
+    protobuf, swap in transformWithState and TTL for idle-key
+    eviction; the operator contract is unchanged."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def suppress(key, pdfs, state: GroupState):
+        seen = list(state.get[0]) if state.exists else []
+        rows = {"clip_id": [], "block_key": [], "fp": [],
+                "novel": [], "n_seen": []}
+        for pdf in pdfs:
+            for cid, fp in zip(pdf["clip_id"], pdf[fp_col]):
+                fp = int(fp)
+                novel = all(bin(fp ^ s).count("1") > hamming_k
+                            for s in seen)
+                if novel:
+                    seen.append(fp)
+                rows["clip_id"].append(cid)
+                rows["block_key"].append(key[0])
+                rows["fp"].append(fp)
+                rows["novel"].append(novel)
+                rows["n_seen"].append(len(seen))
+        state.update((seen[-max_state_fps:],))
+        yield pd.DataFrame(rows)
+
+    return (stream
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                suppress, NEARDUP_OUT_SCHEMA, "fps array<long>",
+                "append", GroupStateTimeout.NoTimeout))
+
+
 def run_batchwise(spark: SparkSession, in_path: str, out_path: str,
                   checkpoint: str) -> None:
     """Drive the streaming dedup to completion over the files currently

@@ -103,3 +103,50 @@ def test_streaming_late_data_watermark(spark, tmpdir_session):
     # W2: the in-horizon late 10:24 event WAS counted
     assert got.get(20) == (1, 5.0), got
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stateful_near_dup_suppression(spark, tmpdir_session):
+    """applyInPandasWithState custom operator: fingerprints seen in an
+    EARLIER micro-batch (and earlier runs — state recovers from the
+    checkpoint across restarts) suppress near-dups (Hamming <= k) in
+    later batches, while distant fingerprints stay novel."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from record_deduplication_spark.streaming.dedup_stream import (
+        near_dup_suppress_stream)
+
+    base = os.path.join(tmpdir_session, "stream_state")
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(in_dir, exist_ok=True)
+
+    # batch 1: block A seeds fp=0; block B seeds fp=0xFFFF
+    b1 = pd.DataFrame({"clip_id": ["a1", "b1"],
+                       "block_key": ["A", "B"],
+                       "fp": [0, 0xFFFF]})
+    # batch 2: a2 is Hamming-2 from a1's fp (near-dup -> suppressed),
+    # a3 is Hamming-8 (novel); b2 exactly repeats b1's fp (suppressed)
+    b2 = pd.DataFrame({"clip_id": ["a2", "a3", "b2"],
+                       "block_key": ["A", "A", "B"],
+                       "fp": [0b11, 0b11111111, 0xFFFF]})
+    schema = T.StructType([T.StructField("clip_id", T.StringType()),
+                           T.StructField("block_key", T.StringType()),
+                           T.StructField("fp", T.LongType())])
+    for i, pdf in enumerate((b1, b2)):
+        pdf.to_parquet(os.path.join(in_dir, f"f{i}.parquet"), index=False)
+        q = (near_dup_suppress_stream(
+                spark.readStream.schema(schema).parquet(in_dir), hamming_k=3)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    out = spark.read.parquet(out_dir).toPandas().set_index("clip_id")
+    assert out.loc["a1", "novel"] and out.loc["b1", "novel"]
+    assert not out.loc["a2", "novel"]      # within Hamming-3 of a1, cross-batch
+    assert out.loc["a3", "novel"]          # Hamming-8: genuinely new
+    assert not out.loc["b2", "novel"]      # exact repeat in another block
+    assert int(out.loc["a3", "n_seen"]) == 2
+    shutil.rmtree(base, ignore_errors=True)
