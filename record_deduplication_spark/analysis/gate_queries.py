@@ -1348,6 +1348,41 @@ FROM p ORDER BY pair_id
 """)
 
 
+def _address_concat_spark(spark: SparkSession) -> DataFrame:
+    """P4 engine op (functions/columns.address_concat): multi-part
+    address join as one codegen expression — concat_ws skips NULL
+    parts, whitespace collapses, ends trimmed (reference joins parts
+    per-row in Python, preprocess_engine.py:108-114). NULLs and messy
+    spacing are planted deterministically to exercise every branch."""
+    from pyspark.sql import functions as F
+
+    from ..functions.columns import address_concat
+
+    df = (spark.table("customer")
+          .select("c_custkey",
+                  F.col("c_name").alias("a1"),
+                  F.when(F.col("c_custkey") % 3 == 0, F.lit(None))
+                   .otherwise(F.col("c_mktsegment")).alias("a2"),
+                  F.when(F.col("c_custkey") % 2 == 0,
+                         F.lit("  apt  7 ")).alias("a3")))
+    return (df.select(F.col("c_custkey").alias("custkey"),
+                      address_concat(["a1", "a2", "a3"]).alias("address"))
+            .orderBy("custkey"))
+
+
+_fq("address_concat_normalize", _address_concat_spark, r"""
+WITH t AS (
+  SELECT c_custkey,
+         c_name AS a1,
+         CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS a2,
+         CASE WHEN c_custkey % 2 = 0 THEN '  apt  7 ' END AS a3
+  FROM customer)
+SELECT c_custkey AS custkey,
+       trim(regexp_replace(concat_ws(' ', a1, a2, a3), '\s+', ' ', 'g')) AS address
+FROM t ORDER BY custkey
+""")
+
+
 # --------------------------------------------------------------------------
 # Runners
 # --------------------------------------------------------------------------
