@@ -132,3 +132,32 @@ def test_audio_payload_fetch_pushes_in_predicate(spark, tmpdir_session):
     # the PushedFilters lines, which appear once per scan)
     assert plan.count("In(clip_id") == 2, plan[:4000]
     assert sub.count() == 40                           # real ids all fetched
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmpdir_session):
+    """Corpus bucketed by clip_id + signatures bucketed the same way
+    -> the join plans with ZERO Exchange nodes (the 10^12-row strategy
+    for the pipeline's repeated clip_id joins). Broadcast is disabled
+    for the assertion so the small test tables take the same
+    SortMergeJoin path a 100 TB corpus would."""
+    from record_deduplication_spark.sources.bucketed import (
+        read_bucketed, write_bucketed)
+    a = spark.range(0, 5000).selectExpr("cast(id as string) clip_id",
+                                        "id * 2 as x")
+    b = spark.range(0, 5000).selectExpr("cast(id as string) clip_id",
+                                        "id * 3 as y")
+    write_bucketed(a, "bkt_clips", n_buckets=8)
+    write_bucketed(b, "bkt_signed", n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_bucketed(spark, "bkt_clips").join(
+            read_bucketed(spark, "bkt_signed"), "clip_id")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan[:3000]
+        assert "SortMergeJoin" in plan
+        assert j.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_clips")
+        spark.sql("DROP TABLE IF EXISTS bkt_signed")
