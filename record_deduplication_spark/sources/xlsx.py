@@ -26,7 +26,7 @@ import math
 import re
 import zipfile
 import xml.etree.ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 import pandas as pd
 
@@ -123,7 +123,7 @@ def write_xlsx(path: str, sheets: dict[str, pd.DataFrame],
           '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
           'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
           '<sheets>'
-          + "".join(f'<sheet name="{escape(n)}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+          + "".join(f'<sheet name={quoteattr(n)} sheetId="{i+1}" r:id="rId{i+1}"/>'
                     for i, n in enumerate(names))
           + "</sheets></workbook>")
     nrel = len(names)

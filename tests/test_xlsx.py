@@ -97,3 +97,9 @@ def test_write_review_report(tmp_path, spark):
     mr2 = read_xlsx(p, "manual_review")
     assert len(mr2) == 2 and min(mr2["prob"]) >= min(mr["prob"])
     assert stats2["manual_review"]["count"] == stats["manual_review"]["count"]
+
+
+def test_sheet_name_with_quotes(tmp_path, frame):
+    p = str(tmp_path / "q.xlsx")
+    write_xlsx(p, {'band "high"': frame.head(2)})
+    assert len(read_xlsx(p, 'band "high"')) == 2
