@@ -128,6 +128,10 @@ def resample_clips(clips: DataFrame, target_sr: int,
                     out_codec = "pcm_s16le"  # fake decodes re-encode as wav
                 if sr_in == target_sr and out_codec == codec:
                     enc = b
+                elif pcm.size == 0:
+                    # zero-frame clip: re-header at the target rate
+                    # (resample_linear's np.interp needs >=1 sample)
+                    enc = A.encode_wav(pcm, target_sr)
                 else:
                     enc = A.encode_wav(
                         A.resample_linear(pcm, sr_in, target_sr), target_sr)
@@ -178,6 +182,8 @@ def sample_frames(clips: DataFrame, frame_ms: int = 1000,
                     pcm, sr_in = _fake_decode(b), int(sr)
                 win = max(1, int(sr_in * frame_ms / 1000))
                 step = max(1, int(sr_in * hop / 1000))
+                if pcm.size == 0:
+                    continue  # zero-frame clip: no windows to emit
                 for i, s in enumerate(range(0, max(1, pcm.size - win + 1),
                                             step)):
                     seg = pcm[s:s + win]

@@ -136,17 +136,11 @@ def main(argv: list[str] | None = None) -> int:
         clips, resume=args.resume, max_cluster_size=args.max_cluster_size)
     stats = {"config": cfg.to_dict(), **res.stats}
     if args.report:
-        from pyspark.sql import functions as F
-
+        from .operators.verify import edge_prob01
         from .sources.io import write_review_report
-        # same verdict->[0,1] mapping the subdivision ladder uses
-        prob = F.when(
-            F.col("verdict") == "audio",
-            F.lit(1.0) - F.pow(F.lit(10.0), -F.col("score") / F.lit(20.0))
-        ).otherwise(F.coalesce(F.col("score"), F.lit(1.0)))
         stats["report"] = write_review_report(
             res.edges.select("id_1", "id_2", "verdict",
-                             prob.alias("prob")), args.report)
+                             edge_prob01().alias("prob")), args.report)
     line = json.dumps(stats)
     print(line)
     if args.json_out:

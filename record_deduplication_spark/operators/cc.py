@@ -156,11 +156,17 @@ def key_cocluster_edges(records: DataFrame, key_col: str,
     Returns (id_1, id_2)."""
     from .blocking import pairs_within_blocks
 
+    # block on the RAW key value, not a hash: these edges are hard
+    # merge constraints that nothing re-verifies downstream, so a
+    # 64-bit hash collision (birthday bound ~2.7% that SOME collision
+    # exists at 10^9 distinct keys) would force-merge two unrelated
+    # key groups irreversibly. pairs_within_blocks only groups/joins
+    # on bkey — dtype is free, so equality is exact by construction.
     members = (records
                .where(F.col(key_col).isNotNull() & (F.col(key_col) != ""))
                .select(F.col(id_col).alias("clip_id"),
                        F.lit("key").alias("source"),
-                       F.xxhash64(F.lit("key"), F.col(key_col)).alias("bkey")))
+                       F.col(key_col).cast("string").alias("bkey")))
     return (pairs_within_blocks(members, cfg, materialize=False)
             .select("id_1", "id_2").distinct())
 

@@ -227,23 +227,33 @@ def _kmeans_fit_predict(X: np.ndarray, k: int, seed: int,
     n = len(X)
     k = max(1, min(k, n))
     S = X if n <= sample_max else X[rng.choice(n, sample_max, replace=False)]
+
+    def d2_to(pts: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # ||x||^2 - 2 x.C + ||c||^2 matmul form: O(n*k) memory, never
+        # the O(n*k*dim) (pts[:,None,:]-cents)**2 broadcast temporary
+        # (at 1e6 members x 100 centers x 64 dims that temporary is
+        # ~5 TB — instant executor OOM inside the pandas UDF task)
+        d = ((pts * pts).sum(1)[:, None] - 2.0 * (pts @ cents.T)
+             + (cents * cents).sum(1)[None, :])
+        return np.maximum(d, 0.0)
+
     centers = [S[int(rng.integers(len(S)))]]
+    best_d2 = d2_to(S, np.asarray(centers))[:, 0]  # running min, O(n)
     for _ in range(1, k):
-        d2 = np.min(((S[:, None, :] - np.asarray(centers)[None]) ** 2).sum(-1),
-                    axis=1)
-        tot = float(d2.sum())
+        tot = float(best_d2.sum())
         idx = (int(rng.integers(len(S))) if tot <= 0.0
-               else int(rng.choice(len(S), p=d2 / tot)))
+               else int(rng.choice(len(S), p=best_d2 / tot)))
         centers.append(S[idx])
+        best_d2 = np.minimum(best_d2, d2_to(S, S[idx][None])[:, 0])
     C = np.asarray(centers, dtype=np.float64)
     for _ in range(iters):
-        lab = ((S[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
+        lab = d2_to(S, C).argmin(1)
         newC = np.array([S[lab == j].mean(0) if (lab == j).any() else C[j]
                          for j in range(k)])
         if np.allclose(newC, C):
             break
         C = newC
-    return ((X[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
+    return d2_to(X, C).argmin(1)
 
 
 def subdivide_kmeans(clusters: DataFrame, features: DataFrame,
@@ -270,7 +280,11 @@ def subdivide_kmeans(clusters: DataFrame, features: DataFrame,
     mem = (assign.join(big, "cluster_key", "leftsemi")
            .join(features.select("clip_id",
                                  F.col(feature_col).cast("array<double>")
-                                 .alias("_fv")), "clip_id"))
+                                 .alias("_fv")), "clip_id")
+           # a feature ROW with a NULL vector must behave like a missing
+           # row ("members without features keep their cluster"), not
+           # crash np.vstack in the executor
+           .where(F.col("_fv").isNotNull()))
 
     def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("clip_id").reset_index(drop=True)
@@ -413,6 +427,21 @@ def subdivide_adaptive(clusters: DataFrame, edges: DataFrame, max_size: int,
                                         cluster_col="cluster_key")
             return rest.unionByName(done)
 
+        def still_oversized(cur: DataFrame, keys: list[str]) -> set:
+            # same >1k-literal guard as run(): a corpus with many
+            # thousands of oversized clusters must not rebuild the
+            # giant In-predicate the main path explicitly avoids
+            if len(keys) <= 1000:
+                flt = cur.where(F.col("cluster_key").isin(list(keys)))
+            else:
+                kdf = cur.sparkSession.createDataFrame(
+                    [(k,) for k in keys], "cluster_key string")
+                flt = cur.join(F.broadcast(kdf), "cluster_key", "leftsemi")
+            return {r.cluster_key for r in
+                    (flt.groupBy("cluster_key")
+                     .agg(F.count(F.lit(1)).alias("size"))
+                     .where(F.col("size") > max_size).collect())}
+
         hurry = elapsed > 0.7 * timeout_s
         forced = [k for k, s in over.items()
                   if use_force and (s > force_above or hurry)]
@@ -423,20 +452,12 @@ def subdivide_adaptive(clusters: DataFrame, edges: DataFrame, max_size: int,
         if laddered:
             assign = run("smart", laddered, assign).localCheckpoint(eager=True)
             # which of them actually split?
-            still = {r.cluster_key for r in
-                     (assign.where(F.col("cluster_key").isin(laddered))
-                      .groupBy("cluster_key")
-                      .agg(F.count(F.lit(1)).alias("size"))
-                      .where(F.col("size") > max_size).collect())}
+            still = still_oversized(assign, laddered)
             level["usage"]["ladder_smart"] = len(laddered) - len(still)
             aggr = [k for k in still if depth >= 3 and over[k] >= 500]
             if aggr:
                 assign = run("aggressive", aggr, assign).localCheckpoint(eager=True)
-                rem = {r.cluster_key for r in
-                       (assign.where(F.col("cluster_key").isin(aggr))
-                        .groupBy("cluster_key")
-                        .agg(F.count(F.lit(1)).alias("size"))
-                        .where(F.col("size") > max_size).collect())}
+                rem = still_oversized(assign, aggr)
                 level["usage"]["ladder_aggressive"] = len(aggr) - len(rem)
                 still = (still - set(aggr)) | rem
             if still and features is not None:
@@ -456,7 +477,13 @@ def subdivide_adaptive(clusters: DataFrame, edges: DataFrame, max_size: int,
                 still = {k for k in over2
                          if k in tset
                          or any(k.startswith(t + "_k") for t in tset)}
-                level["usage"]["kmeans"] = len(targets) - len(still)
+                # usage counts progressed TARGETS (one target can leave
+                # several oversized _k children in `still`; subtracting
+                # len(still) would go negative and fake a no_progress)
+                unresolved = {t for t in tset
+                              if t in over2
+                              or any(k.startswith(t + "_k") for k in over2)}
+                level["usage"]["kmeans"] = len(targets) - len(unresolved)
             if still and use_force:
                 assign = run("force", sorted(still), assign)
                 level["usage"]["force"] = level["usage"].get("force", 0) + len(still)

@@ -284,6 +284,19 @@ def verify_audio(pending: DataFrame, clips: DataFrame, cfg: DedupConfig) -> Data
     return j.mapInPandas(_check, schema=schema)
 
 
+def edge_prob01():
+    """Map a verified edge's (verdict, score) onto one [0, 1]
+    probability: audio SNR dB -> 1 - 10^(-dB/20) (amplitude accuracy
+    of the PCM match: 30 dB -> .968, 40 dB -> .99 — monotone,
+    bounded); text -> jaccard; exact/substring (score NULL) -> 1.0.
+    Single definition shared by the subdivision ladder and the review
+    report so the two can never silently diverge."""
+    return F.when(
+        F.col("verdict") == "audio",
+        F.lit(1.0) - F.pow(F.lit(10.0), -F.col("score") / F.lit(20.0))
+    ).otherwise(F.coalesce(F.col("score"), F.lit(1.0)))
+
+
 def build_edges(cands: DataFrame, signed: DataFrame, clips: DataFrame,
                 cfg: DedupConfig) -> DataFrame:
     """Full verification -> dup-edge list (id_1, id_2, verdict, score)."""

@@ -119,16 +119,11 @@ class DedupPipeline:
                    max_size: int) -> DataFrame:
         """C6 post-stage: size-bound the cluster table via the adaptive
         subdivision loop. Verified edges carry per-verdict score
-        scales; map them onto one [0, 1] similarity for the threshold
-        ladders: exact/substring -> 1.0, text -> jaccard, audio ->
-        1 - 10^(-SNR_dB/20) (the amplitude-accuracy of the PCM match:
-        30 dB -> .968, 40 dB -> .99 — monotone, bounded)."""
+        scales; edge_prob01 maps them onto one [0, 1] similarity for
+        the threshold ladders (shared with the review report)."""
         from ..operators.subdivide import subdivide_adaptive
-        score01 = F.when(
-            F.col("verdict") == "audio",
-            F.lit(1.0) - F.pow(F.lit(10.0), -F.col("score") / F.lit(20.0))
-        ).otherwise(F.coalesce(F.col("score"), F.lit(1.0)))
-        e = edges.select("id_1", "id_2", score01.alias("score"))
+        from ..operators.verify import edge_prob01
+        e = edges.select("id_1", "id_2", edge_prob01().alias("score"))
         out, substats = subdivide_adaptive(
             clusters, e, max_size, cfg=self.cfg,
             high_threshold=self.cfg.jaccard_threshold)

@@ -38,7 +38,11 @@ def load_table(spark: SparkSession, path: str) -> DataFrame:
         if ext == ".xls":
             raise ValueError("legacy .xls (BIFF) is not supported; "
                              "save as .xlsx")
-        return spark.createDataFrame(read_xlsx(path))
+        pdf = read_xlsx(path)
+        # an entirely-empty column has no inferable type — default it
+        # to string rather than rejecting the workbook
+        empty = {c: "string" for c in pdf.columns if pdf[c].isna().all()}
+        return spark.createDataFrame(pdf.astype(empty) if empty else pdf)
     raise ValueError(f"Unsupported file format: {ext}")
 
 
@@ -61,7 +65,9 @@ def write_review_report(scored: DataFrame, path: str,
     bands = {
         "high_confidence": scored.where(p >= high),
         "manual_review": scored.where((p >= low) & (p < high)),
-        "low_confidence": scored.where(p < low),
+        # NULL probs band as low-confidence, matching the stats agg's
+        # .otherwise(...) routing
+        "low_confidence": scored.where((p < low) | p.isNull()),
     }
     agg = (scored.select(
         F.when(p >= high, "high_confidence")
@@ -71,7 +77,10 @@ def write_review_report(scored: DataFrame, path: str,
         .agg(F.count(F.lit(1)).alias("count"),
              F.avg("_p").alias("mean_probability"))).collect()
     stats = {r["band"]: {"count": r["count"],
-                         "mean_probability": float(r["mean_probability"])}
+                         # avg over all-NULL probs is NULL, not a crash
+                         "mean_probability": (float(r["mean_probability"])
+                                              if r["mean_probability"]
+                                              is not None else 0.0)}
              for r in agg}
     for b in bands:
         stats.setdefault(b, {"count": 0, "mean_probability": 0.0})

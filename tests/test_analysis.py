@@ -295,3 +295,19 @@ def test_jaro_winkler_udf(spark):
     got = [r.s for r in df.select(
         F.round(jaro_winkler_udf()(F.col("a"), F.col("b")), 6).alias("s")).collect()]
     assert got == [0.961111, 0.813333, 0.0]
+
+
+def test_zero_sample_clip_does_not_crash(spark):
+    """A valid WAV header with zero frames must pass through resample
+    (re-headered) and produce no frame windows — not a ValueError in
+    the executor."""
+    import numpy as np
+    from record_deduplication_spark.functions import audio as A
+    df = spark.createDataFrame(
+        [("empty", A.encode_wav(np.zeros(0), 16000), 16000, 0, "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string")
+    out = resample_clips(df, 8000).collect()[0]
+    assert out.sr_hz == 8000 and out.dur_ms == 0
+    pcm, sr = A.decode_wav(bytes(out.bytes))
+    assert sr == 8000 and pcm.size == 0
+    assert sample_frames(df, frame_ms=500).count() == 0

@@ -202,3 +202,19 @@ def test_subdivide_adaptive_kmeans_degenerate_falls_to_force(spark):
     assert (sizes["count"] <= 6).all()
     assert stats["stopped"] == "converged"
     assert any(lv["usage"].get("force") for lv in stats["levels"])
+
+
+def test_kmeans_null_feature_vector_kept_not_crashed(spark):
+    """A features ROW with a NULL vector must behave like a missing
+    row (member keeps its cluster), not crash np.vstack."""
+    from record_deduplication_spark.operators.subdivide import subdivide_kmeans
+    members = [(f"c{i:02d}", "big") for i in range(12)]
+    clusters = spark.createDataFrame(members, "clip_id string, cluster_id string")
+    feats = spark.createDataFrame(
+        [(f"c{i:02d}", None if i == 5 else [float(i % 2) * 10, float(i)])
+         for i in range(12)],
+        "clip_id string, embedding array<double>")
+    out = subdivide_kmeans(clusters, feats, max_size=6).toPandas()
+    assert len(out) == 12
+    assert out.set_index("clip_id").loc["c05", "cluster_key"] == "big"  # kept
+    assert out["cluster_key"].nunique() >= 2  # others actually split

@@ -103,3 +103,23 @@ def test_sheet_name_with_quotes(tmp_path, frame):
     p = str(tmp_path / "q.xlsx")
     write_xlsx(p, {'band "high"': frame.head(2)})
     assert len(read_xlsx(p, 'band "high"')) == 2
+
+
+def test_report_all_null_probs(spark, tmp_path):
+    scored = spark.createDataFrame(
+        [("a", "b", None), ("c", "d", None)],
+        "id1 string, id2 string, prob double")
+    p = str(tmp_path / "nullrep.xlsx")
+    stats = write_review_report(scored, p)
+    assert stats["low_confidence"]["count"] == 2
+    assert stats["low_confidence"]["mean_probability"] == 0.0
+    assert stats["high_confidence"]["count"] == 0
+
+
+def test_load_table_empty_column(tmp_path, spark, frame):
+    f = frame[["record_id"]].copy()
+    f["notes"] = None
+    x = str(tmp_path / "empty_col.xlsx")
+    write_xlsx(x, {"data": f})
+    df = load_table(spark, x)
+    assert df.count() == 3 and "notes" in df.columns
