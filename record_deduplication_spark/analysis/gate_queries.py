@@ -43,6 +43,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 _H_SPARK = "CAST(conv(substr(md5(CAST({x} AS BINARY)),1,15),16,10) AS BIGINT)"
 _H_DUCK = "(('0x' || substr(md5({x}),1,15))::BIGINT)"
+# 40-bit base hash for the minhash permutation family: ONE md5 per
+# shingle, then P affine permutations (h*(2p+3)+12289(p+1)) mod prime —
+# identical integer arithmetic on both engines, no overflow
+# (2^40 * 33 < 2^46), and 16x fewer md5 calls than hashing (s, p) pairs
+_H40_SPARK = "CAST(conv(substr(md5(CAST({x} AS BINARY)),1,10),16,10) AS BIGINT)"
+_H40_DUCK = "(('0x' || substr(md5({x}),1,10))::BIGINT)"
+_MH_PRIME = 1099511627791
 
 
 def _shingle_cte_spark() -> str:
@@ -135,7 +142,8 @@ mh AS (
   SELECT doc_id, sh,
          transform(sequence(0, {_P - 1}),
                    p -> array_min(transform(sh,
-                        s -> {_H_SPARK.format(x="concat(s, ':', CAST(p AS STRING))")}))) AS mhv
+                        s -> (({_H40_SPARK.format(x="s")} * (2 * p + 3))
+                              + 12289 * (p + 1)) % {_MH_PRIME}))) AS mhv
   FROM sharr
 ),
 bands AS (
@@ -164,10 +172,13 @@ ORDER BY id_1, id_2
 """
 _mh_duck = f"""
 WITH {_shingle_cte_duck()},
+sh1 AS (
+  SELECT doc_id, s, {_H40_DUCK.format(x="s")} AS h FROM shd
+),
 mh AS (
   SELECT doc_id, p,
-         min({_H_DUCK.format(x="s || ':' || p::VARCHAR")}) AS mhv
-  FROM shd CROSS JOIN (SELECT unnest(range({_P})) AS p)
+         min(((h * (2 * p + 3)) + 12289 * (p + 1)) % {_MH_PRIME}) AS mhv
+  FROM sh1 CROSS JOIN (SELECT unnest(range({_P})) AS p)
   GROUP BY doc_id, p
 ),
 bands AS (
