@@ -99,7 +99,8 @@ class DedupPipeline:
         if max_cluster_size is not None:
             subdivided, _ = self._stage(
                 "clusters_sub", run_id, resume,
-                lambda: self._subdivide(clusters, edges, max_cluster_size))
+                lambda: self._subdivide(clusters, edges, signed,
+                                        max_cluster_size))
 
         stats = {
             "n_clips": n_clips,
@@ -116,16 +117,26 @@ class DedupPipeline:
                               subdivided=subdivided)
 
     def _subdivide(self, clusters: DataFrame, edges: DataFrame,
-                   max_size: int) -> DataFrame:
+                   signed: DataFrame, max_size: int) -> DataFrame:
         """C6 post-stage: size-bound the cluster table via the adaptive
         subdivision loop. Verified edges carry per-verdict score
         scales; edge_prob01 maps them onto one [0, 1] similarity for
-        the threshold ladders (shared with the review report)."""
+        the threshold ladders (shared with the review report). The
+        64-bit PCM fingerprint doubles as a 64-dim bit-vector feature
+        so the C7 KMeans strategy gets a similarity-aware split in the
+        production path too (not only when a caller supplies
+        embeddings) before force is needed."""
         from ..operators.subdivide import subdivide_adaptive
         from ..operators.verify import edge_prob01
         e = edges.select("id_1", "id_2", edge_prob01().alias("score"))
+        fp_bits = (signed
+                   .where(F.col("pcm_fp").isNotNull())
+                   .select("clip_id",
+                           F.expr("transform(sequence(0, 63), "
+                                  "b -> CAST((pcm_fp >> b) & 1 AS DOUBLE))")
+                           .alias("embedding")))
         out, substats = subdivide_adaptive(
-            clusters, e, max_size, cfg=self.cfg,
+            clusters, e, max_size, cfg=self.cfg, features=fp_bits,
             high_threshold=self.cfg.jaccard_threshold)
         self.last_subdivision_stats = substats
         return out
