@@ -157,12 +157,17 @@ def pcm_fingerprint(pcm: np.ndarray, n_frames: int = 64) -> int:
 
 
 def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
-    """SNR of `test` against `ref` after length alignment (truncate to
-    min length). Returns +inf for exact match, -inf for empty."""
-    n = min(ref.size, test.size)
-    if n == 0:
+    """SNR of `test` against `ref`, aligned by ZERO-PADDING the shorter
+    signal to the longer length — the unmatched tail counts as error,
+    so a clip that is a mere prefix of another cannot score as a
+    duplicate (truncate-to-min scored such a pair +inf). Resampling's
+    ±1-2 sample length rounding contributes negligible tail error.
+    Returns +inf for exact match, -inf for empty."""
+    n = max(ref.size, test.size)
+    if n == 0 or min(ref.size, test.size) == 0:
         return float("-inf")
-    r, t = ref[:n], test[:n]
+    r = ref if ref.size == n else np.pad(ref, (0, n - ref.size))
+    t = test if test.size == n else np.pad(test, (0, n - test.size))
     num = float((r * r).sum())
     den = float(((r - t) ** 2).sum())
     if den == 0.0:

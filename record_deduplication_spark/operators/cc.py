@@ -121,15 +121,30 @@ def connected_components(edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) ->
         return _driver_union_find(e)
 
     prev = None
+    converged = False
+    every = max(1, cfg.cc_checkpoint_every)
     for it in range(cfg.cc_max_iters):
-        # each round materializes: the loop body is 2 groupBys + 2 joins,
-        # and without truncation every checksum would re-execute the
-        # whole chain-of-rounds lineage from the original edge scan.
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e))
+        # truncate lineage every cc_checkpoint_every rounds (the
+        # checksum action below executes the plan either way; without
+        # periodic truncation the chain-of-rounds lineage re-executes
+        # from the original edge scan on every later action)
+        if (it + 1) % every == 0:
+            e = e.localCheckpoint(eager=True)
         cur = _checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: star loop did not converge in "
+            f"cc_max_iters={cfg.cc_max_iters} rounds — the result would "
+            f"be a silently wrong partition (children still pointing at "
+            f"non-root intermediates). Raise cc_max_iters; alternating "
+            f"large-star/small-star needs O(log^2 n) rounds.")
+    if (it + 1) % every != 0:
+        e = e.localCheckpoint(eager=True)  # materialize before the final reads
 
     # converged: e is a star forest (child -> root)
     children = e.select(F.col("src").alias("clip_id"), F.col("dst").alias("component"))

@@ -37,7 +37,11 @@ def heuristic_labels(feats: DataFrame, pos_floor: float = 0.8,
     fallback to top/bottom-N by mean feature when a class is empty
     (reference /root/reference/src/core/model_engine.py:54-124) —
     each fallback draws only from rows NOT matching the other class's
-    mask, so no pair can carry both labels.
+    mask AND not already taken by the other fallback (when both masks
+    are empty the two fallbacks would otherwise both draw from the
+    same undifferentiated pool — e.g. all-identical features — and
+    hand the trainer contradictory labels on identical rows), so no
+    pair can carry both labels.
     Returns the labeled subset only, with a `label` column.
     Raises ValueError when no labelable pair exists (empty input).
     """
@@ -52,14 +56,20 @@ def heuristic_labels(feats: DataFrame, pos_floor: float = 0.8,
     # materialize once: the emptiness probes, counts and the two
     # orderBy/limit passes below would otherwise each recompute the
     # upstream feature plan (up to 6x)
-    feats = feats.withColumn("_mean_sim", mean_expr).localCheckpoint(eager=True)
+    feats = (feats.withColumn("_mean_sim", mean_expr)
+             .withColumn("_rid", F.monotonically_increasing_id())
+             .localCheckpoint(eager=True))
 
     pos = feats.where(pos_mask)
     neg = feats.where(neg_mask)
     if pos.isEmpty():
-        pos = feats.where(~neg_mask).orderBy(F.col("_mean_sim").desc()).limit(fallback_n)
+        pos = (feats.where(~neg_mask)
+               .orderBy(F.col("_mean_sim").desc(), "_rid").limit(fallback_n)
+               .localCheckpoint(eager=True))
     if neg.isEmpty():
-        neg = feats.where(~pos_mask).orderBy(F.col("_mean_sim").asc()).limit(fallback_n)
+        neg = (feats.where(~pos_mask)
+               .join(pos.select("_rid"), "_rid", "left_anti")
+               .orderBy(F.col("_mean_sim").asc(), "_rid").limit(fallback_n))
     # class balance to min(|pos|, |neg|), deterministic order
     n = min(pos.count(), neg.count())
     if n == 0:
@@ -67,9 +77,11 @@ def heuristic_labels(feats: DataFrame, pos_floor: float = 0.8,
             "heuristic_labels: no labelable pairs (empty or degenerate "
             "feature input) — cannot train; widen thresholds or check "
             "the upstream feature stage")
-    pos = pos.orderBy(F.col("_mean_sim").desc()).limit(n).withColumn("label", F.lit(1))
-    neg = neg.orderBy(F.col("_mean_sim").asc()).limit(n).withColumn("label", F.lit(0))
-    return pos.unionByName(neg).drop("_mean_sim")
+    pos = pos.orderBy(F.col("_mean_sim").desc(), "_rid").limit(n) \
+             .withColumn("label", F.lit(1))
+    neg = neg.orderBy(F.col("_mean_sim").asc(), "_rid").limit(n) \
+             .withColumn("label", F.lit(0))
+    return pos.unionByName(neg).drop("_mean_sim", "_rid")
 
 
 def train_logistic(labeled: DataFrame, feature_cols: list[str],
@@ -123,8 +135,11 @@ def high_confidence(scored: DataFrame, threshold: float = 0.9,
 
 def prob_quantiles(scored: DataFrame, prob_col: str = "prob",
                    qs: tuple[float, ...] = (0.9, 0.95, 0.99)) -> dict:
-    """M5: percentile_approx in one agg pass."""
+    """M5: percentile_approx in one agg pass. Empty (or all-null)
+    input returns an empty dict rather than iterating a NULL agg."""
     row = scored.agg(F.percentile_approx(prob_col, list(qs)).alias("q")).collect()[0]
+    if row.q is None:
+        return {}
     return {f"p{int(q * 100)}": float(v) for q, v in zip(qs, row.q)}
 
 

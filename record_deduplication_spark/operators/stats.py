@@ -14,7 +14,7 @@ intentionally dropped (O(n^2), geometric; SURVEY §2.6 C14).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -190,16 +190,22 @@ def subdivide_oversized(clusters: DataFrame, max_size: int,
     reference's ForceStrategy last resort, SURVEY §2.6 C10). Returns a
     new assignment with suffix-bucketed cluster ids.
 
-    This is a driver-free single pass (no loop needed: hash split is
-    guaranteed to bound sizes in one application with
-    salt_buckets >= ceil(size/max_size))."""
+    This is a driver-free single pass (no loop needed): the bucket is
+    a ROUND-ROBIN row_number split, so with k = ceil(size/max_size)
+    every bucket holds <= max_size members BY CONSTRUCTION. A hash
+    split (pmod(xxhash64(id), k)) carries no such bound — all members
+    of a cluster can deterministically collide into one bucket and
+    never unstick on retry (the bug subdivide_force's docstring
+    documents)."""
     sizes = (clusters.where(clustered())
              .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size")))
     joined = clusters.join(sizes, "cluster_id", "left")
     k = salt_buckets
+    rn = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy("clip_id")) - 1
     bucket = F.when(
         F.col("size") > max_size,
-        F.pmod(F.xxhash64("clip_id"),
+        F.pmod(rn,
                F.lit(k) if k else F.ceil(F.col("size") / max_size).cast("long")))
     return joined.select(
         "clip_id",
@@ -249,16 +255,23 @@ def yeo_johnson(df: DataFrame, cols: list[str], standardize: bool = True,
     if sample_frac < 1.0:
         samp = samp.sample(fraction=sample_frac, seed=seed)
     pdf = samp.limit(max_sample_rows).toPandas()
-    lams = {c: fit_lambda(pdf[c].dropna().to_numpy(dtype="float64"))
-            for c in cols}
+    # empty / all-null sample: lambda=1 is the identity transform —
+    # pass the column through instead of crashing the fit
+    lams = {}
+    for c in cols:
+        x = pdf[c].dropna().to_numpy(dtype="float64")
+        lams[c] = fit_lambda(x) if x.size else 1.0
     out = df.select(*[c for c in df.columns if c not in cols],
                     *[yeo_johnson_col(c, lams[c]).alias(c) for c in cols])
     if standardize:
         stats = out.agg(*[F.avg(c).alias(f"{c}__mu") for c in cols],
                         *[F.stddev_pop(c).alias(f"{c}__sd") for c in cols]
                         ).first()
+        # avg/stddev over zero (non-null) rows is NULL -> standardize
+        # as identity (mu 0, sd 1) rather than float(None)
         out = out.select(
             *[c for c in out.columns if c not in cols],
-            *[((F.col(c) - float(stats[f"{c}__mu"]))
-               / (float(stats[f"{c}__sd"]) or 1.0)).alias(c) for c in cols])
+            *[((F.col(c) - float(stats[f"{c}__mu"] or 0.0))
+               / (float(stats[f"{c}__sd"] or 1.0) or 1.0)).alias(c)
+              for c in cols])
     return out, lams

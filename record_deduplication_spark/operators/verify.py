@@ -95,12 +95,13 @@ def common_run_udf(cfg: DedupConfig):
 def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Verify exact/text/substring criteria.
 
-    The pair context attached to EVERY candidate is hash-only (64-bit
-    xxhash64 of transcript_norm / sha_bytes + the pcm fingerprint): the
-    exact criterion and the audio prefilter are pure equality checks,
-    so 8-byte proxies carry them with a 2^-64 per-pair collision bound
-    — and a collision can only ADD a candidate edge for downstream
-    verification, never drop one (recall-safe). The transcript strings
+    The pair context attached to EVERY candidate is hash-only
+    (xxhash64 + independent murmur3 of transcript_norm / sha_bytes +
+    the pcm fingerprint): the exact criterion and the audio prefilter
+    are pure equality checks, so compact proxies carry them — 96 bits
+    (2^-96) for the hard-merging exact verdict, 64 bits for the
+    prefilter, where a collision can only ADD a candidate edge for
+    downstream verification, never drop one. The transcript strings
     themselves are joined only onto the small textish subset that the
     Jaccard / suffix-array UDFs actually read. Measured at 48k clips
     this cut the stage's shuffled bytes ~8x, and the narrow context is
@@ -111,25 +112,35 @@ def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFr
     # a bare hash would make two null-sha (or null-norm) rows compare
     # equal; the when() keeps the old equality semantics (NULL = never
     # equal, like `a = b` on nulls)
+    # 96-bit proxies (xxhash64 + independent murmur3-32): the 'exact'
+    # verdict is a HARD merge nothing re-verifies downstream, so the
+    # 2^-64 single-hash collision bound — material at ~10^15 candidate
+    # pairs — is tightened to 2^-96 for 4 extra bytes per side.
+    # Candidate-only criteria (the audio prefilter) stay single-hash:
+    # there a collision only ADDS a pair the SNR check rejects.
     def _h(c: str):
         return F.when(F.col(c).isNotNull(), F.xxhash64(c))
+
+    def _h2(c: str):
+        return F.when(F.col(c).isNotNull(), F.hash(c))
     ctx = signed.select(
         "clip_id",
         _h("transcript_norm").alias("normh"),
+        _h2("transcript_norm").alias("normh2"),
         _h("sha_bytes").alias("shah"),
+        _h2("sha_bytes").alias("shah2"),
         (F.coalesce(F.col("transcript_norm"), F.lit("")) != "").alias("ne"),
         "pcm_fp")
-    p = (cands
-         .join(ctx.select(F.col("clip_id").alias("id_1"),
-                          F.col("normh").alias("normh_1"),
-                          F.col("shah").alias("shah_1"),
-                          F.col("ne").alias("ne_1"),
-                          F.col("pcm_fp").alias("fp_1")), "id_1")
-         .join(ctx.select(F.col("clip_id").alias("id_2"),
-                          F.col("normh").alias("normh_2"),
-                          F.col("shah").alias("shah_2"),
-                          F.col("ne").alias("ne_2"),
-                          F.col("pcm_fp").alias("fp_2")), "id_2"))
+
+    def _side(n: str) -> DataFrame:
+        return ctx.select(F.col("clip_id").alias(f"id_{n}"),
+                          F.col("normh").alias(f"normh_{n}"),
+                          F.col("normh2").alias(f"normh2_{n}"),
+                          F.col("shah").alias(f"shah_{n}"),
+                          F.col("shah2").alias(f"shah2_{n}"),
+                          F.col("ne").alias(f"ne_{n}"),
+                          F.col("pcm_fp").alias(f"fp_{n}"))
+    p = cands.join(_side("1"), "id_1").join(_side("2"), "id_2")
 
     has = lambda s: F.array_contains(F.col("sources"), s)  # noqa: E731
     textish = has("lsh") | has("substring")
@@ -137,7 +148,9 @@ def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFr
     # is NULL, and a NULL predicate would drop the row from BOTH the
     # needs_udf and ~needs_udf branches (three-valued logic)
     exact_ok = F.coalesce((F.col("shah_1") == F.col("shah_2"))
-                          & (F.col("normh_1") == F.col("normh_2")),
+                          & (F.col("shah2_1") == F.col("shah2_2"))
+                          & (F.col("normh_1") == F.col("normh_2"))
+                          & (F.col("normh2_1") == F.col("normh2_2")),
                           F.lit(False))
     needs_udf = textish & F.col("ne_1") & F.col("ne_2") & ~exact_ok
 
@@ -181,9 +194,15 @@ def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFr
 
     out = no_need.unionByName(
         decided.unionByName(undecided).drop("norm_1", "norm_2"))
+    # score contract (edge_prob01): text -> its jaccard; exact AND
+    # substring -> 1.0. A substring pair only exists where jaccard <
+    # threshold, so carrying that sub-threshold jaccard as its score
+    # would mark every substring dup low-confidence (first ladder rung
+    # would cut it; the review report would band it 'not same')
     return out.withColumn(
-        "score", F.coalesce(F.col("jaccard"),
-                            F.when(F.col("verdict").isNotNull(), F.lit(1.0))))
+        "score", F.when(F.col("verdict").isin("exact", "substring"),
+                        F.lit(1.0))
+                  .otherwise(F.col("jaccard")))
 
 
 def fetch_payloads(clips: DataFrame, idlist: list) -> DataFrame:
@@ -288,7 +307,8 @@ def edge_prob01():
     """Map a verified edge's (verdict, score) onto one [0, 1]
     probability: audio SNR dB -> 1 - 10^(-dB/20) (amplitude accuracy
     of the PCM match: 30 dB -> .968, 40 dB -> .99 — monotone,
-    bounded); text -> jaccard; exact/substring (score NULL) -> 1.0.
+    bounded); text -> jaccard; exact/substring -> 1.0 (set by
+    verify_text; the coalesce also maps a NULL score to 1.0).
     Single definition shared by the subdivision ladder and the review
     report so the two can never silently diverge."""
     return F.when(

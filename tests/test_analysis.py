@@ -311,3 +311,17 @@ def test_zero_sample_clip_does_not_crash(spark):
     pcm, sr = A.decode_wav(bytes(out.bytes))
     assert sr == 8000 and pcm.size == 0
     assert sample_frames(df, frame_ms=500).count() == 0
+
+
+def test_subdivide_oversized_round_robin_bound(spark):
+    """The single-pass split must bound EVERY bucket by construction
+    (a hash split can deterministically collapse into one bucket)."""
+    from record_deduplication_spark.operators.stats import subdivide_oversized
+    cl = spark.createDataFrame([(f"x{i:03d}", 7) for i in range(25)]
+                               + [("solo", 8), ("n1", -1)],
+                               "clip_id string, cluster_id long")
+    out = subdivide_oversized(cl, max_size=10).toPandas()
+    big = out[out["cluster_key"].str.startswith("7_")]
+    assert len(big) == 25
+    assert big.groupby("cluster_key").size().max() <= 10
+    assert out.set_index("clip_id").loc["solo", "cluster_key"] == "8"

@@ -107,3 +107,18 @@ def test_address_concat_expr(spark):
     out = [r.a for r in df.select(
         address_concat(["street", "unit", "city"]).alias("a")).collect()]
     assert out == ["12 Main St Springfield", ""]
+
+
+def test_cc_raises_on_nonconvergence(spark):
+    """Exhausting cc_max_iters must fail loudly, never return a
+    silently-wrong partition."""
+    from dataclasses import replace
+    import pytest
+    from record_deduplication_spark.config import DEFAULT_CONFIG
+    from record_deduplication_spark.operators.cc import connected_components
+    chain = spark.createDataFrame(
+        [(f"v{i:03d}", f"v{i+1:03d}") for i in range(30)],
+        "id_1 string, id_2 string")
+    cfg = replace(DEFAULT_CONFIG, cc_driver_max_edges=0, cc_max_iters=1)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, cfg)

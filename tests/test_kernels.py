@@ -165,3 +165,21 @@ def test_jaro_winkler_golden():
     assert jaro_winkler("", "x") == 0.0
     assert jaro_winkler("same", "same") == 1.0
     assert 0.0 <= jaro_winkler("abc", "xyz") <= 1.0
+
+
+def test_snr_prefix_clip_is_not_a_duplicate():
+    """A clip that is a mere prefix of another must NOT pass the
+    allclose-SNR dup criterion: the unmatched tail counts as error
+    (truncate-to-min alignment scored such pairs +inf)."""
+    import numpy as np
+    from record_deduplication_spark.functions.audio import (
+        pcm_allclose_snr, snr_db)
+    rng = np.random.default_rng(11)
+    full = rng.uniform(-0.5, 0.5, 16000)
+    prefix = full[:1000].copy()
+    ok, s = pcm_allclose_snr(prefix, 16000, full, 16000)
+    assert not ok and s < 30, (ok, s)
+    # identical signals still score +inf; tiny resample rounding is fine
+    assert snr_db(full, full) == float("inf")
+    ok2, s2 = pcm_allclose_snr(full, 16000, full[:15999], 16000)
+    assert ok2  # 1-sample tail = negligible error, not a rejection

@@ -80,3 +80,22 @@ def test_fallback_labels_when_no_threshold_hits(spark):
     lab = heuristic_labels(df, fallback_n=5)
     pdf = lab.toPandas()
     assert (pdf["label"] == 1).sum() == 5 and (pdf["label"] == 0).sum() == 5
+
+
+def test_heuristic_labels_degenerate_features_no_contradiction(spark):
+    """All-identical mid-band features fire BOTH fallbacks; the same
+    pair must not be labeled 1 and 0 simultaneously."""
+    from record_deduplication_spark.operators.model import heuristic_labels
+    feats = spark.createDataFrame(
+        [(f"a{i}", f"b{i}", 0.5) for i in range(100)],
+        "id_1 string, id_2 string, jaccard double")
+    lab = heuristic_labels(feats, fallback_n=30).toPandas()
+    per_pair = lab.groupby(["id_1", "id_2"])["label"].nunique()
+    assert (per_pair == 1).all(), "pair carries contradictory labels"
+    assert set(lab["label"]) == {0, 1}
+
+
+def test_prob_quantiles_empty(spark):
+    from record_deduplication_spark.operators.model import prob_quantiles
+    empty = spark.createDataFrame([], "prob double")
+    assert prob_quantiles(empty) == {}
