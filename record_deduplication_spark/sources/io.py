@@ -25,10 +25,11 @@ from .xlsx import read_xlsx, write_xlsx
 
 
 def load_table(spark: SparkSession, path: str) -> DataFrame:
-    """S2/S1: read an input table, dispatching on extension."""
+    """S2/S1: read an input table, dispatching on extension. Extension
+    wins over is-a-directory: Spark writers produce DIRECTORIES named
+    `out.csv`/`out.json`, which must dispatch to their format's reader
+    (both readers accept part-file directories), not to parquet."""
     ext = os.path.splitext(path)[1].lower()
-    if ext == ".parquet" or os.path.isdir(path):
-        return spark.read.parquet(path)
     if ext == ".csv":
         return spark.read.option("header", True).option(
             "inferSchema", True).csv(path)
@@ -39,10 +40,19 @@ def load_table(spark: SparkSession, path: str) -> DataFrame:
             raise ValueError("legacy .xls (BIFF) is not supported; "
                              "save as .xlsx")
         pdf = read_xlsx(path)
-        # an entirely-empty column has no inferable type — default it
-        # to string rather than rejecting the workbook
-        empty = {c: "string" for c in pdf.columns if pdf[c].isna().all()}
-        return spark.createDataFrame(pdf.astype(empty) if empty else pdf)
+        if len(pdf.columns) == 0:
+            raise ValueError(f"{path}: workbook sheet has no header row")
+        # header-only sheet / entirely-empty columns have no inferable
+        # type — default to string rather than rejecting the workbook
+        empty = {c: "string" for c in pdf.columns
+                 if pdf[c].isna().all()} if len(pdf) else \
+                {c: "string" for c in pdf.columns}
+        return spark.createDataFrame(pdf.astype(empty) if empty else pdf,
+                                     schema=None if len(pdf) else
+                                     ", ".join(f"`{c}` string"
+                                               for c in pdf.columns))
+    if ext == ".parquet" or os.path.isdir(path):
+        return spark.read.parquet(path)
     raise ValueError(f"Unsupported file format: {ext}")
 
 
@@ -61,18 +71,21 @@ def write_review_report(scored: DataFrame, path: str,
     Returns the reference's ``report_stats['probability_bands']``
     shape: {band: {count, mean_probability}} — counts are pre-cap.
     """
-    p = F.col(prob_col)
-    bands = {
-        "high_confidence": scored.where(p >= high),
-        "manual_review": scored.where((p >= low) & (p < high)),
-        # NULL probs band as low-confidence, matching the stats agg's
-        # .otherwise(...) routing
-        "low_confidence": scored.where((p < low) | p.isNull()),
-    }
-    agg = (scored.select(
-        F.when(p >= high, "high_confidence")
-         .when(p >= low, "manual_review")
-         .otherwise("low_confidence").alias("band"), p.alias("_p"))
+    # NaN compares GREATER than any number in Spark ordering — without
+    # the isnan guard a NaN prob lands in high_confidence (and leaks
+    # non-RFC `NaN` tokens into the JSON stats); route NaN with NULL
+    # into low_confidence, where unscorable pairs belong
+    p = F.when(F.isnan(F.col(prob_col)), F.lit(None)) \
+         .otherwise(F.col(prob_col))
+    # one materialization serves the stats agg + both sheet collects
+    # (scored is usually a computed plan — cli passes a projection of
+    # the verified edge set; three uncached passes = three full jobs)
+    banded = scored.withColumn("_p", p).localCheckpoint(eager=True)
+    pb = F.col("_p")
+    agg = (banded.select(
+        F.when(pb >= high, "high_confidence")
+         .when(pb >= low, "manual_review")
+         .otherwise("low_confidence").alias("band"), pb)
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("count"),
              F.avg("_p").alias("mean_probability"))).collect()
@@ -82,11 +95,13 @@ def write_review_report(scored: DataFrame, path: str,
                                               if r["mean_probability"]
                                               is not None else 0.0)}
              for r in agg}
-    for b in bands:
+    for b in ("high_confidence", "manual_review", "low_confidence"):
         stats.setdefault(b, {"count": 0, "mean_probability": 0.0})
-    sheets = {name: df.orderBy(F.col(prob_col).desc())
-              .limit(max_rows_per_sheet).toPandas()
-              for name, df in bands.items() if name != "low_confidence"}
+    sheet_bands = {"high_confidence": banded.where(pb >= high),
+                   "manual_review": banded.where((pb >= low) & (pb < high))}
+    sheets = {name: df.orderBy(pb.desc())
+              .limit(max_rows_per_sheet).drop("_p").toPandas()
+              for name, df in sheet_bands.items()}
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     write_xlsx(path, sheets, highlight={"manual_review": prob_col})
     return stats

@@ -44,6 +44,10 @@ def _col_letter(i: int) -> str:
     return s
 
 
+_XML_ILLEGAL = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f]")  # chars XML 1.0 cannot carry at all
+
+
 def _cell_xml(ref: str, v, style: int) -> str:
     s = f' s="{style}"' if style else ""
     if v is None or (isinstance(v, float) and math.isnan(v)):
@@ -52,7 +56,11 @@ def _cell_xml(ref: str, v, style: int) -> str:
         return f'<c r="{ref}"{s} t="b"><v>{int(v)}</v></c>'
     if isinstance(v, (int, float)):
         return f'<c r="{ref}"{s}><v>{v!r}</v></c>'
-    txt = escape(str(v))
+    # escape() covers &<>; control chars are ILLEGAL in XML 1.0 even
+    # escaped — one such byte would corrupt the whole workbook, so
+    # replace with U+FFFD (openpyxl raises; for a report, lossy beats
+    # losing the file)
+    txt = escape(_XML_ILLEGAL.sub("�", str(v)))
     return (f'<c r="{ref}"{s} t="inlineStr"><is>'
             f'<t xml:space="preserve">{txt}</t></is></c>')
 
@@ -161,8 +169,12 @@ def _ref_to_col(ref: str) -> int:
 def _cell_value(c: ET.Element, shared: list[str]):
     t = c.get("t", "n")
     if t == "inlineStr":
-        tn = c.find(f"{_NS}is/{_NS}t")
-        return tn.text or "" if tn is not None else ""
+        # concatenate ALL <t> runs: rich-text cells are <is><r><t>…
+        # (a direct <is>/<t> lookup silently reads them as "")
+        is_el = c.find(f"{_NS}is")
+        if is_el is None:
+            return ""
+        return "".join(tn.text or "" for tn in is_el.iter(f"{_NS}t"))
     v = c.find(f"{_NS}v")
     if v is None or v.text is None:
         return None
@@ -170,9 +182,14 @@ def _cell_value(c: ET.Element, shared: list[str]):
         return shared[int(v.text)]
     if t == "b":
         return bool(int(v.text))
-    if t == "str":
+    if t in ("str", "e", "d"):
+        # formula-string / error (#DIV/0!) / ISO-date cells: surface
+        # the raw text rather than crashing float() on it
         return v.text
-    f = float(v.text)
+    try:
+        f = float(v.text)
+    except ValueError:
+        return v.text  # unknown cell type: raw text beats an abort
     return int(f) if f.is_integer() and abs(f) < 2**53 else f
 
 
@@ -211,6 +228,16 @@ def read_xlsx(path: str, sheet: str | int = 0) -> pd.DataFrame:
     if not rows:
         return pd.DataFrame()
     width = max(max(r) + 1 for r in rows if r) if any(rows) else 0
-    header = [rows[0].get(j, f"col{j}") for j in range(width)]
+    header = [str(rows[0].get(j, f"col{j}")) for j in range(width)]
+    # pandas-style dedup of repeated headers (id, id.1, ...): duplicate
+    # names are common in hand-authored sheets, and a duplicated column
+    # label breaks per-column operations downstream
+    seen: dict[str, int] = {}
+    for j, h in enumerate(header):
+        if h in seen:
+            seen[h] += 1
+            header[j] = f"{h}.{seen[h]}"
+        else:
+            seen[h] = 0
     data = [[r.get(j) for j in range(width)] for r in rows[1:]]
-    return pd.DataFrame(data, columns=[str(h) for h in header])
+    return pd.DataFrame(data, columns=header)

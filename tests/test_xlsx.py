@@ -123,3 +123,72 @@ def test_load_table_empty_column(tmp_path, spark, frame):
     write_xlsx(x, {"data": f})
     df = load_table(spark, x)
     assert df.count() == 3 and "notes" in df.columns
+
+
+def test_nan_prob_bands_low_not_high(spark, tmp_path):
+    """Spark orders NaN above every number; the report must band NaN
+    with NULL (low_confidence), never as a top-band duplicate."""
+    scored = spark.createDataFrame(
+        [("a", "b", float("nan")), ("c", "d", 0.95)],
+        "id1 string, id2 string, prob double")
+    p = str(tmp_path / "nan.xlsx")
+    stats = write_review_report(scored, p)
+    assert stats["high_confidence"]["count"] == 1
+    assert stats["low_confidence"]["count"] == 1
+    assert stats["high_confidence"]["mean_probability"] == pytest.approx(0.95)
+    import json
+    json.loads(json.dumps(stats))  # RFC-parseable (no bare NaN token)
+
+
+def test_duplicate_headers_deduped(tmp_path, spark):
+    f = pd.DataFrame([["r1", 1, 2], ["r2", 3, 4]],
+                     columns=["id", "x", "x"])
+    p = str(tmp_path / "dup.xlsx")
+    write_xlsx(p, {"d": f})
+    got = read_xlsx(p)
+    assert list(got.columns) == ["id", "x", "x.1"]
+    assert load_table(spark, p).count() == 2
+
+
+def test_header_only_workbook(tmp_path, spark):
+    p = str(tmp_path / "ho.xlsx")
+    write_xlsx(p, {"d": pd.DataFrame(columns=["a", "b"])})
+    df = load_table(spark, p)
+    assert df.count() == 0 and df.columns == ["a", "b"]
+
+
+def test_weird_cells_and_control_chars(tmp_path):
+    # control char survives as replacement, not a corrupt workbook
+    f = pd.DataFrame({"a": ["x\x01y"]})
+    p = str(tmp_path / "ctrl.xlsx")
+    write_xlsx(p, {"d": f})
+    assert read_xlsx(p)["a"][0] == "x�y"
+    # hand-built sheet with error / date / rich-text cells
+    import zipfile
+    with zipfile.ZipFile(p) as z:
+        names = {n: z.read(n) for n in z.namelist()}
+    sheet = (b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+             b'<worksheet xmlns="http://schemas.openxmlformats.org/'
+             b'spreadsheetml/2006/main"><sheetData>'
+             b'<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>'
+             b'<row r="2"><c r="A2" t="e"><v>#DIV/0!</v></c></row>'
+             b'<row r="3"><c r="A3" t="d"><v>2026-01-02</v></c></row>'
+             b'<row r="4"><c r="A4" t="inlineStr"><is><r><t>ri</t></r>'
+             b'<r><t>ch</t></r></is></c></row>'
+             b'</sheetData></worksheet>')
+    names["xl/worksheets/sheet1.xml"] = sheet
+    p2 = str(tmp_path / "weird.xlsx")
+    with zipfile.ZipFile(p2, "w") as z:
+        for n, b in names.items():
+            z.writestr(n, b)
+    got = read_xlsx(p2)
+    assert got["h"].tolist() == ["#DIV/0!", "2026-01-02", "rich"]
+
+
+def test_load_table_csv_directory(tmp_path, spark):
+    """A Spark-written directory named out.csv must dispatch to the
+    CSV reader, not the parquet reader."""
+    d = str(tmp_path / "out.csv")
+    spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int") \
+        .write.option("header", True).csv(d)
+    assert load_table(spark, d).count() == 2
