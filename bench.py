@@ -58,13 +58,15 @@ def _corpus_dir(n_clips: int, seed: int = 42,
     if sharded:
         tag += "_sh"
     d = os.path.join(REPO, "data", f"clips_n{n_clips}_s{seed}{tag}_v{DATAGEN_VERSION}")
-    marker = os.path.join(d, ".done") if sharded else os.path.join(d, "clips.parquet")
+    # a .done sentinel written AFTER generation in both modes: using a
+    # data file as the marker caches an interrupted (truncated /
+    # truth-less) generation forever
+    marker = os.path.join(d, ".done")
     if not os.path.exists(marker):
         writer = write_clips_parquet_sharded if sharded else write_clips_parquet
         writer(d, n_clips=n_clips, seed=seed,
                dur_min_ms=dur_min_ms, dur_max_ms=dur_max_ms)
-        if sharded:
-            open(marker, "w").close()
+        open(marker, "w").close()
     return d
 
 

@@ -59,7 +59,10 @@ def parse_config_overrides(pairs: list[str]):
             except ValueError:
                 raise SystemExit(f"--set {k} expects an integer, got {v!r}")
         elif isinstance(cur, float):
-            out[k] = float(v)
+            try:
+                out[k] = float(v)
+            except ValueError:
+                raise SystemExit(f"--set {k} expects a number, got {v!r}")
         else:
             out[k] = v
     return dataclasses.replace(DEFAULT_CONFIG, **out)
@@ -126,7 +129,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = active or build_session(app="dedup_submit", master=args.master)
 
     if "/" not in args.input and not args.input.endswith(
-            (".parquet", ".csv", ".json", ".jsonl", ".xlsx", ".xls")):
+            (".parquet", ".csv", ".json", ".jsonl", ".ndjson",
+             ".xlsx", ".xls")):
         clips = spark.read.table(args.input)
     else:
         from .sources.io import load_table

@@ -13,7 +13,7 @@ shared config is the fix for that pitfall (SURVEY.md §7.3).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 
 
 @dataclass(frozen=True)

@@ -7,7 +7,11 @@ plus a ground-truth table `clusters_truth(clip_id, cluster_id)`.
 
 Planted groups (FIXTURES.md §A):
   - exact dup          identical bytes + transcript
-  - audio near-dup     resampled / additive noise at SNR>=30dB, same transcript
+  - audio near-dup     additive noise at SNR>=30dB, same transcript
+                       (cross-sample-rate pairs are NOT planted here —
+                       the resample alignment path is covered by unit
+                       tests on pcm_allclose_snr/resample_clips; mixed
+                       rates DO occur across clips via the 3-rate pool)
   - transcript near-dup  <=k token edits, same audio
   - substring dup      one transcript embedded verbatim (>=L tokens) in a longer one
   - hot-key group      one large group of near-identical transcripts (skew/salting exercise)
@@ -25,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .functions.audio import encode_wav, resample_linear
+from .functions.audio import encode_wav
 
 # bump when generation logic changes: benchmark corpus caches key on it
 DATAGEN_VERSION = 4
@@ -116,7 +120,8 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
 
     def base_clip(n_words: int | None = None, dur_ms: int | None = None):
         sr = int(_SRS[int(rng.integers(0, 3))])
-        dur = int(dur_ms or rng.integers(dur_min_ms, dur_max_ms))
+        dur = int(dur_ms if dur_ms is not None
+                  else rng.integers(dur_min_ms, dur_max_ms))
         pcm = _make_pcm(rng, sr, dur)
         txt = _make_transcript(rng, int(n_words or rng.integers(6, 40)))
         return pcm, sr, dur, txt
@@ -134,7 +139,11 @@ def generate_clips(n_clips: int = 2000, seed: int = 42,
 
     n_hot = max(3, int(n_clips * hot_group_frac))
     n_groups = max(1, int(n_clips * 0.12) // 3)
-    n_planted = n_hot + n_groups * 3  # rough; remainder become negatives/singletons
+    # NOTE: planted groups + hot group + adversarial negatives are
+    # emitted unconditionally, so for very small n_clips (< ~15) the
+    # corpus can exceed n_clips; the while-top-up below only ever adds.
+    # Kept as-is deliberately — trimming would change every seeded
+    # corpus (DATAGEN_VERSION bump) and all callers use n >= 40.
 
     # --- planted small groups: rotate through the 4 dup mechanisms ---
     for g in range(n_groups):

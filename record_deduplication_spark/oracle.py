@@ -89,9 +89,8 @@ def oracle_dedup(clips: pd.DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> dict
     for i in ids:
         exact_groups[(sha[i], norm[i])].append(i)
     for members in exact_groups.values():
+        # full pairing (clique semantics); k=0 covers the hub pair
         for j in range(1, len(members)):
-            add_pair(members[0], members[j], "exact")
-            # full pairing for parity with clique semantics
             for k in range(j):
                 add_pair(members[k], members[j], "exact")
 

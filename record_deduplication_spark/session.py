@@ -11,18 +11,37 @@ def build_session(app: str = "record_dedup_spark", master: str | None = None,
                   shuffle_partitions: int | None = None,
                   extra: dict[str, str] | None = None) -> SparkSession:
     """local[N] for tests/bench; on a real cluster pass master=None and
-    let spark-submit own it. Shuffle partitions default to the local
-    core count (the 200 default over-parallelizes small data and
-    under-parallelizes 100 TB — size explicitly per deployment)."""
+    let spark-submit own it — when spark-submit has already configured
+    `spark.master` (visible via SparkConf before any session exists),
+    NO local default is applied, so `--master yarn/k8s` is never
+    silently overridden into single-node local mode. Shuffle
+    partitions default to the local core count in local mode (the 200
+    default over-parallelizes small data and under-parallelizes
+    100 TB); under a cluster master they are left to the submit conf —
+    size explicitly per deployment."""
+    from pyspark import SparkConf
+
     cores = os.cpu_count() or 8
     if master is None:
-        master = os.environ.get("SPARK_GRAFT_MASTER",
-                                f"local[{os.environ.get('SPARK_GRAFT_CPUS', cores)}]")
-    if shuffle_partitions is None:
-        n = master.split("[")[-1].rstrip("]") if "[" in master else str(cores)
+        # spark-submit materializes its --master/--conf as JVM system
+        # properties that a fresh SparkConf() reads
+        submitted = SparkConf().get("spark.master", None)
+        master = os.environ.get(
+            "SPARK_GRAFT_MASTER",
+            None if submitted else
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', cores)}]")
+    if shuffle_partitions is None and master is not None:
+        # local[N] / local[N,maxFailures] / local[*]
+        n = (master.split("[")[-1].rstrip("]").split(",")[0]
+             if "[" in master else str(cores))
         shuffle_partitions = cores if n == "*" else max(int(n), 4)
-    b = (SparkSession.builder.appName(app).master(master)
-         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    b = SparkSession.builder.appName(app)
+    if master is not None:
+        b = b.master(master)
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions",
+                     str(shuffle_partitions))
+    b = (b
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
