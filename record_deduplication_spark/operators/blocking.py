@@ -163,6 +163,49 @@ def pairs_within_blocks(members: DataFrame, cfg: DedupConfig,
     return full_pairs.unionByName(chain_pairs).unionByName(rep_pairs)
 
 
+def incremental_candidates(new_signed: DataFrame, old_signed: DataFrame,
+                           cfg: DedupConfig) -> DataFrame:
+    """Candidate pairs for NEWLY INGESTED clips against an existing
+    signed corpus, without re-pairing old x old.
+
+    The daily-ingest shape at 10^12 rows: re-running full blocking
+    re-generates every old x old pair the previous run already
+    verified. Instead:
+
+    1. block the new batch only;
+    2. restrict the OLD member table to blocks the new batch touches —
+       a leftsemi join on (source, bkey) whose probe side is the small
+       distinct key set of the new batch (on an Iceberg/bucketed
+       member table partitioned by bkey this prunes partitions, not
+       just rows);
+    3. pair within those active blocks with the same skew-safe tiered
+       pairer (old members still bound task width via salting);
+    4. keep only pairs touching >= 1 new clip (two leftsemi probes on
+       the new-id set; old x old pairs inside active blocks are
+       dropped — the previous run already owns them).
+
+    Output schema matches generate_candidates, so verify/build_edges
+    run unchanged; union the resulting edges with the prior edge table
+    before connected_components to get updated clusters. Work scales
+    with |new| + |old members sharing a block with new|, never |old|^2.
+    """
+    mn = block_members(new_signed, cfg)
+    mo = block_members(old_signed, cfg)
+    active = mn.select("source", "bkey").distinct()
+    mo_active = mo.join(active, ["source", "bkey"], "leftsemi")
+    pairs = pairs_within_blocks(mn.unionByName(mo_active), cfg)
+    new_ids = new_signed.select("clip_id").distinct()
+    touch_1 = pairs.join(new_ids.withColumnRenamed("clip_id", "id_1"),
+                         "id_1", "leftsemi")
+    touch_2 = pairs.join(new_ids.withColumnRenamed("clip_id", "id_2"),
+                         "id_2", "leftsemi")
+    # a new x new pair appears in both branches; the source-set groupBy
+    # absorbs the duplicate rows
+    return (touch_1.unionByName(touch_2)
+            .groupBy("id_1", "id_2")
+            .agg(F.collect_set("source").alias("sources")))
+
+
 def generate_candidates(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
     """B1-B5 in one pass: members -> pairs -> per-pair source set."""
     pairs = pairs_within_blocks(block_members(signed, cfg), cfg)

