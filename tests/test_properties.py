@@ -1,0 +1,89 @@
+"""Property-based kernel tests (hypothesis): invariants that golden
+cases can't pin down — symmetry, bounds, monotonicity, and brute-force
+equivalence over randomized inputs."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from record_deduplication_spark.functions.audio import (
+    encode_wav, decode_wav, resample_linear, snr_db)
+from record_deduplication_spark.functions.suffix_array import (
+    longest_common_run)
+from record_deduplication_spark.functions.text import (
+    jaccard, jaro_winkler, shingles)
+
+_words = st.lists(st.sampled_from(["a", "b", "ab", "ba", "cat", "dog"]),
+                  min_size=0, max_size=30)
+_texts = st.text(alphabet="abcdef ", max_size=24)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_words, _words)
+def test_longest_common_run_matches_bruteforce(ta, tb):
+    def brute(x, y):
+        best = 0
+        for i in range(len(x)):
+            for j in range(len(y)):
+                k = 0
+                while (i + k < len(x) and j + k < len(y)
+                       and x[i + k] == y[j + k]):
+                    k += 1
+                best = max(best, k)
+        return best
+
+    assert longest_common_run(ta, tb) == brute(ta, tb)
+    assert longest_common_run(ta, tb) == longest_common_run(tb, ta)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_texts, _texts)
+def test_jaro_winkler_bounds_symmetry_identity(a, b):
+    s = jaro_winkler(a, b)
+    assert 0.0 <= s <= 1.0
+    assert s == jaro_winkler(b, a)
+    if a:
+        assert jaro_winkler(a, a) == 1.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(_words, _words, st.integers(min_value=1, max_value=4))
+def test_shingle_jaccard_bounds(ta, tb, k):
+    sa_, sb_ = set(shingles(ta, k)), set(shingles(tb, k))
+    j = jaccard(sa_, sb_)
+    assert 0.0 <= j <= 1.0
+    assert jaccard(sa_, sa_) == (1.0 if sa_ else 0.0) or not sa_
+    assert j == jaccard(sb_, sa_)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=400),
+       st.sampled_from([8000, 16000, 22050]),
+       st.sampled_from([8000, 16000, 22050]))
+def test_wav_roundtrip_and_resample_length(n, sr_from, sr_to):
+    rng = np.random.default_rng(n)
+    pcm = rng.uniform(-0.9, 0.9, n)
+    back, sr = decode_wav(encode_wav(pcm, sr_from))
+    assert sr == sr_from and back.size == n
+    # int16 quantization error stays below one LSB step
+    assert np.abs(back - pcm).max() <= 1.0 / 32767 + 1e-9
+    out = resample_linear(pcm, sr_from, sr_to)
+    expect = int(round(n * sr_to / sr_from))
+    assert abs(out.size - expect) <= 1
+    assert np.isfinite(out).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=2, max_value=500),
+       st.floats(min_value=0.0, max_value=0.2))
+def test_snr_decreases_with_noise(n, amp):
+    rng = np.random.default_rng(n)
+    ref = rng.uniform(-0.5, 0.5, n)
+    noisy = ref + amp * rng.uniform(-1, 1, n)
+    s_clean = snr_db(ref, ref)
+    s_noisy = snr_db(ref, noisy)
+    assert s_clean == float("inf")
+    assert s_noisy <= s_clean
+    # a prefix is never better than the full signal
+    if n >= 10:
+        assert snr_db(ref, ref[: n // 2]) <= s_noisy or amp == 0.0
