@@ -52,12 +52,25 @@ _H40_DUCK = "(('0x' || substr(md5({x}),1,10))::BIGINT)"
 _MH_PRIME = 1099511627791
 
 
+def _gram_spark(k: int) -> str:
+    """k-token gram starting at 0-based offset i, Spark dialect
+    (generated from k so changing _K/_SUBL cannot silently desync
+    the term list from the bounds)."""
+    terms = ", ".join(f"w[i+{j}]" if j else "w[i]" for j in range(k))
+    return f"concat_ws(' ', {terms})"
+
+
+def _gram_duck(k: int) -> str:
+    """Same gram, DuckDB dialect (1-based arrays)."""
+    return " || ' ' || ".join(f"w[i+{j + 1}]" for j in range(k))
+
+
 def _shingle_cte_spark() -> str:
     return f"""
 toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
 shd AS (
   SELECT DISTINCT doc_id,
-         concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
+         {_gram_spark(_K)} AS s
   FROM toks
   LATERAL VIEW explode(sequence(0, size(w)-{_K})) t AS i
   WHERE size(w) >= {_K}
@@ -69,7 +82,7 @@ def _shingle_cte_duck() -> str:
 toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 shd AS (
   SELECT DISTINCT doc_id,
-         w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+         {_gram_duck(_K)} AS s
   FROM toks, unnest(range(len(w)-{_K}+1)) AS t(i)
   WHERE len(w) >= {_K}
 )"""
@@ -83,19 +96,37 @@ def _q(name: str, spark_sql: str, duck_sql: str) -> None:
 
 
 # ---- dedup: exact (P7/B1 analog) ----
+# reference: /root/reference/src/core/preprocess_engine.py:192-211.
+# Duplicates are PLANTED via doc_id arithmetic (each doc takes the
+# text of canonical doc_id - doc_id % 7, so groups of up to 7
+# consecutive ids share a text): the raw testdata contains no exact
+# text dups, which made the r1/r2 version of this gate vacuous (0 rows
+# on both engines — a hash that could never go red, VERDICT r2 #1).
 _q("exact_dup_groups",
    """
+WITH planted AS (
+  SELECT d.doc_id, c.text
+  FROM documents d
+  JOIN documents c ON c.doc_id = d.doc_id - (d.doc_id % 7)
+  WHERE c.text IS NOT NULL
+)
 SELECT md5(CAST(text AS BINARY)) AS text_hash,
        count(*) AS n_dups,
        min(doc_id) AS canonical_id
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM planted GROUP BY 1 HAVING count(*) > 1
 ORDER BY text_hash
 """,
    """
+WITH planted AS (
+  SELECT d.doc_id, c.text
+  FROM documents d
+  JOIN documents c ON c.doc_id = d.doc_id - (d.doc_id % 7)
+  WHERE c.text IS NOT NULL
+)
 SELECT md5(text) AS text_hash,
        count(*) AS n_dups,
        min(doc_id) AS canonical_id
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM planted GROUP BY 1 HAVING count(*) > 1
 ORDER BY text_hash
 """)
 
@@ -135,7 +166,7 @@ WITH toks AS (SELECT /*+ REPARTITION(32) */ doc_id, split(text, ' ') AS w
 sharr AS (
   SELECT doc_id,
          array_distinct(transform(sequence(0, size(w)-{_K}),
-                                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+                                  i -> {_gram_spark(_K)})) AS sh
   FROM toks WHERE size(w) >= {_K}
 ),
 mh AS (
@@ -233,7 +264,7 @@ _ss_spark = f"""
 WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
 gr AS (
   SELECT DISTINCT doc_id,
-         concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]) AS g
+         {_gram_spark(_SUBL)} AS g
   FROM toks
   LATERAL VIEW explode(sequence(0, size(w)-{_SUBL})) t AS i
   WHERE size(w) >= {_SUBL}
@@ -247,7 +278,7 @@ _ss_duck = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 gr AS (
   SELECT DISTINCT doc_id,
-         w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+         {_gram_duck(_SUBL)} AS g
   FROM toks, unnest(range(len(w)-{_SUBL}+1)) AS t(i)
   WHERE len(w) >= {_SUBL}
 )
@@ -795,26 +826,113 @@ SELECT json_extract_string(payload, '$.lang') AS lang,
 FROM j GROUP BY 1 ORDER BY lang
 """)
 
+# ---- R4: nested-JSON ARRAY flatten (review-verdict explode) ----
+# reference: /root/reference/src/core/reporting_engine.py:121-182 — the
+# GPT-review report parses a JSON array of per-pair verdicts and
+# flattens it to one row per verdict. Spark side: explode(from_json(
+# payload, 'array<struct<...>>')); DuckDB twin: unnest(from_json(
+# payload, '[{...}]')). The payload is BUILT deterministically from
+# base columns on both engines, so the parse+flatten itself is what
+# the value hash checks (complements json_extract_fields, which only
+# covers scalar get_json_object).
+_q("review_json_flatten",
+   """
+WITH j AS (
+  SELECT doc_id,
+         concat('[{"pair_id":"p', CAST(doc_id AS STRING), 'a","same":',
+                CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END,
+                ',"confidence":0.', CAST((doc_id * 7) % 10 AS STRING),
+                '},{"pair_id":"p', CAST(doc_id AS STRING),
+                'b","same":true,"confidence":0.5}]') AS payload
+  FROM documents WHERE doc_id < 200
+),
+fl AS (
+  SELECT doc_id,
+         explode(from_json(payload,
+           'array<struct<pair_id:string,same:boolean,confidence:double>>')) AS r
+  FROM j
+)
+SELECT doc_id, r.pair_id AS pair_id, r.same AS same_org,
+       round(r.confidence, 3) AS confidence
+FROM fl ORDER BY doc_id, pair_id
+""",
+   """
+WITH j AS (
+  SELECT doc_id,
+         '[{"pair_id":"p' || doc_id::VARCHAR || 'a","same":' ||
+         CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END ||
+         ',"confidence":0.' || ((doc_id * 7) % 10)::VARCHAR ||
+         '},{"pair_id":"p' || doc_id::VARCHAR ||
+         'b","same":true,"confidence":0.5}]' AS payload
+  FROM documents WHERE doc_id < 200
+),
+fl AS (
+  SELECT doc_id,
+         unnest(from_json(payload,
+           '[{"pair_id":"VARCHAR","same":"BOOLEAN","confidence":"DOUBLE"}]')) AS r
+  FROM j
+)
+SELECT doc_id, r.pair_id AS pair_id, r.same AS same_org,
+       round(r.confidence, 3) AS confidence
+FROM fl ORDER BY doc_id, pair_id
+""")
+
 # ---- C2: feature engineering — non-linear column math + row-stats ----
 # reference: /root/reference/src/core/clustering_engine.py:242-315 and
-# feature_engineering.py:78-167 (x^2, sqrt, log, row min/max/range).
-_c2 = """
+# feature_engineering.py:78-167 (x^2, sqrt, log, row min/max/range,
+# row mean/variance across the feature columns). The Spark side
+# computes mean/variance with F.aggregate over F.array (one codegen
+# projection, the shape the engine uses for arbitrary-width feature
+# vectors); the DuckDB twin uses the equivalent left-fold arithmetic
+# — both fold in the same order, so the IEEE results are identical.
+_c2_spark = """
 WITH f AS (
   SELECT l_orderkey, l_linenumber,
          l_quantity AS x1,
          l_discount * 10 AS x2,
          l_tax * 10 AS x3
   FROM lineitem
+),
+r AS (
+  SELECT *, aggregate(array(x1, x2, x3), CAST(0.0 AS DOUBLE),
+                      (acc, x) -> acc + x) / 3 AS rm
+  FROM f
 )
 SELECT l_orderkey, l_linenumber,
        round(x1 * x1, 4) AS x1_sq,
        round(sqrt(x1), 4) AS x1_sqrt,
        round(ln(1 + x1), 4) AS x1_log1p,
        round(greatest(x1, x2, x3) - least(x1, x2, x3), 4) AS row_range,
-       round(x1 * x2, 4) AS interaction
-FROM f ORDER BY l_orderkey, l_linenumber LIMIT 100
+       round(x1 * x2, 4) AS interaction,
+       round(rm, 4) AS row_mean,
+       round(aggregate(array(x1, x2, x3), CAST(0.0 AS DOUBLE),
+                       (acc, x) -> acc + (x - rm) * (x - rm)) / 3, 4) AS row_var
+FROM r ORDER BY l_orderkey, l_linenumber LIMIT 100
 """
-_q("feature_engineering_math", _c2, _c2)
+_c2_duck = """
+WITH f AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity AS x1,
+         l_discount * 10 AS x2,
+         l_tax * 10 AS x3
+  FROM lineitem
+),
+r AS (
+  SELECT *, (x1 + x2 + x3) / 3 AS rm
+  FROM f
+)
+SELECT l_orderkey, l_linenumber,
+       round(x1 * x1, 4) AS x1_sq,
+       round(sqrt(x1), 4) AS x1_sqrt,
+       round(ln(1 + x1), 4) AS x1_log1p,
+       round(greatest(x1, x2, x3) - least(x1, x2, x3), 4) AS row_range,
+       round(x1 * x2, 4) AS interaction,
+       round(rm, 4) AS row_mean,
+       round(((x1 - rm) * (x1 - rm) + (x2 - rm) * (x2 - rm)
+              + (x3 - rm) * (x3 - rm)) / 3, 4) AS row_var
+FROM r ORDER BY l_orderkey, l_linenumber LIMIT 100
+"""
+_q("feature_engineering_math", _c2_spark, _c2_duck)
 
 # ---- C10: Force-split subdivision of oversized clusters ----
 # reference: /root/reference/src/core/clustering/hierarchical/
@@ -1044,8 +1162,14 @@ def _subdivision_ladder_spark(spark: SparkSession) -> DataFrame:
     base_e = edges.where(F.col("score") >= 0.5).select("id_1", "id_2")
     clusters = (connected_components(base_e, DEFAULT_CONFIG)
                 .withColumnRenamed("component", "cluster_id"))
+    # singletons_to_noise=False matches the DuckDB twin's
+    # coalesce(sub_rep, base_cluster): a member disconnected at the
+    # accepted rung stays in its parent cluster on BOTH sides (the
+    # fixture has no rung singletons, but divergent semantics would
+    # desync silently on any fixture change — ADVICE r2)
     assign = subdivide_ladder(clusters, edges, max_size=6,
-                              thresholds=[0.7], cfg=DEFAULT_CONFIG)
+                              thresholds=[0.7], cfg=DEFAULT_CONFIG,
+                              singletons_to_noise=False)
     parts = F.split(F.col("cluster_key"), "\\.")
     return (assign.select(
         F.col("clip_id").cast("bigint").alias("doc_id"),

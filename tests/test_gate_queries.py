@@ -51,6 +51,10 @@ def test_paired_query_matches_duckdb(spark, duck, name):
 
 @pytest.mark.parametrize("name", ["minhash_lsh_pairs", "shingle_jaccard_pairs",
                                   "substring_run_pairs", "prefix_fingerprint_dups",
-                                  "cosine_topk", "simhash_fingerprints"])
+                                  "cosine_topk", "simhash_fingerprints",
+                                  # exact_dup_groups was vacuous in r1/r2
+                                  # (0 rows both engines); it now plants
+                                  # dups and must never be degenerate again
+                                  "exact_dup_groups", "review_json_flatten"])
 def test_interesting_queries_nonempty(spark, name):
     assert G.run_spark(spark, SF_DIR, name).count() > 0, f"{name} degenerate (0 rows)"
