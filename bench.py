@@ -267,13 +267,17 @@ def _ceiling_child(cores: int) -> None:
     spark.stop()
 
 
-def _spark_ceiling(lo: int, hi: int) -> dict:
+def _spark_ceiling(lo: int, hi: int) -> dict | None:
     """The host's achievable Spark scaling from lo->hi PINNED cores on
     pure vectorized numpy compute (no I/O, no shuffle, no engine
     logic). A time-shared VM caps this below hi/lo; the pipeline
     cannot scale better than this ceiling, so the artifact reports
     efficiency both raw (vs ideal hi/lo) and normalized (vs this
-    measured ceiling)."""
+    measured ceiling).
+
+    Returns None only when BOTH core levels fail twice; if one level
+    fails, the surviving level's seconds are still returned (speedup
+    None) so scaling() can min-merge them with the other sample."""
     secs = {}
     for cores in (lo, hi):
         for attempt in (1, 2):  # same retry-or-skip treatment as the
@@ -288,11 +292,14 @@ def _spark_ceiling(lo: int, hi: int) -> dict:
                               "failed": True, "stderr_tail": r.stderr[-500:]}),
                   file=sys.stderr)
         else:
-            return None  # caller falls back to the other sample
+            continue  # this core level failed twice; keep the other
         line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
         secs[cores] = json.loads(line)["sec"]
+    if not secs:
+        return None  # caller falls back to the other sample
     return {"sec": {str(c): round(s, 2) for c, s in secs.items()},
-            "speedup": round(secs[lo] / secs[hi], 3)}
+            "speedup": round(secs[lo] / secs[hi], 3)
+            if lo in secs and hi in secs else None}
 
 
 def _capacity_work(_):
@@ -375,8 +382,12 @@ def scaling(n_clips: int = 24000, reps: int = 3,
     samples = [s for s in (ceiling_pre, ceiling_post) if s is not None]
     if not samples:
         raise SystemExit("scaling: both ceiling samples failed twice")
-    best_sec = {str(c): min(s["sec"][str(c)] for s in samples)
-                for c in (lo, hi)}
+    best_sec = {}
+    for c in (lo, hi):
+        vals = [s["sec"][str(c)] for s in samples if str(c) in s["sec"]]
+        if not vals:  # a sample can be partial (one core level failed)
+            raise SystemExit(f"scaling: no ceiling sample at {c} cores")
+        best_sec[str(c)] = min(vals)
     ceiling = {"sec": best_sec,
                "speedup": round(best_sec[str(lo)] / best_sec[str(hi)], 3),
                "samples": {"pre": ceiling_pre, "post": ceiling_post}}

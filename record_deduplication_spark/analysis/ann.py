@@ -96,8 +96,13 @@ def fit_ivf_centroids(corpus: DataFrame, n_cells: int = 64,
     BROADCAST to executors; only the sample, never the corpus, reaches
     the driver. At 10^12 rows a 50k uniform sample still estimates
     cell centroids to well within the n_probe recall slack."""
-    frac_df = corpus.select(vec_col)
+    frac_df = corpus.select(vec_col).where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
     n = frac_df.count()
+    if n == 0:
+        raise ValueError(
+            "fit_ivf_centroids: corpus has no non-empty embedding rows "
+            f"in column {vec_col!r} — nothing to fit the quantizer on")
     if n > sample_n:
         frac_df = frac_df.sample(fraction=min(1.0, 1.2 * sample_n / n),
                                  seed=seed).limit(sample_n)
@@ -165,12 +170,18 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     c_assign = _probe_cells_udf(centroids, 1)
     q_assign = _probe_cells_udf(centroids, n_probe)
-    cb = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("cv"),
-                       c_assign(F.col(vec_col))[0].alias("cell"))
-    qb = queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("qv"),
-                        F.explode(q_assign(F.col(vec_col))).alias("cell"))
+    # NULL/empty embeddings are dropped BEFORE the Arrow UDF: one bad
+    # row would otherwise make np.array(v.tolist()) ragged/1-D and
+    # np.linalg.norm(x, axis=1) raise, killing the whole job
+    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    cb = (corpus.where(ok)
+          .select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).alias("cv"),
+                  c_assign(F.col(vec_col))[0].alias("cell")))
+    qb = (queries.where(ok)
+          .select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("qv"),
+                  F.explode(q_assign(F.col(vec_col))).alias("cell")))
     scored = (cb.join(qb, "cell")
               .where(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cosine", _cos_expr("qv", "cv")))

@@ -164,7 +164,12 @@ def sample_frames(clips: DataFrame, frame_ms: int = 1000,
     one row per `frame_ms` window at `hop_ms` stride with per-window
     features. The explode happens INSIDE the task on the decoded
     floats — the payload itself never multiplies; output rows are a
-    few doubles each, safe to shuffle/aggregate downstream."""
+    few doubles each, safe to shuffle/aggregate downstream.
+
+    Every emitted row covers exactly `frame_ms` of audio: clips
+    shorter than one frame produce NO rows (the r2 version emitted a
+    silently-truncated window whose rms/peak/zcr covered fewer samples
+    than the requested width — ADVICE r2)."""
     hop = hop_ms or frame_ms
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -182,10 +187,9 @@ def sample_frames(clips: DataFrame, frame_ms: int = 1000,
                     pcm, sr_in = _fake_decode(b), int(sr)
                 win = max(1, int(sr_in * frame_ms / 1000))
                 step = max(1, int(sr_in * hop / 1000))
-                if pcm.size == 0:
-                    continue  # zero-frame clip: no windows to emit
-                for i, s in enumerate(range(0, max(1, pcm.size - win + 1),
-                                            step)):
+                if pcm.size < win:
+                    continue  # shorter than one frame: no FULL window
+                for i, s in enumerate(range(0, pcm.size - win + 1, step)):
                     seg = pcm[s:s + win]
                     rows["clip_id"].append(cid)
                     rows["frame_idx"].append(i)

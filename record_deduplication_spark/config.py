@@ -54,10 +54,14 @@ class DedupConfig:
     # below this edge count, connected components runs as a single
     # driver-side path-compressed union-find (one collect, one job —
     # the reference's G1); above it, the distributed alternating-star
-    # algorithm takes over. 10M string edges ~ a few hundred MB on the
-    # driver — safe; a 10^12-clip corpus crosses the threshold and uses
-    # the O(log^2 n) star rounds.
-    cc_driver_max_edges: int = 10_000_000
+    # algorithm takes over. MEASURED driver-side Python footprint
+    # (tests/test_cc.py::test_driver_max_edges_budget): ~515 B/edge for
+    # Row objects of two 13-char string ids + the union-find dict —
+    # ~1.0 GB at this 2M default, ~5.2 GB at the r2 default of 10M
+    # (which would OOM a standard 8 GB cluster driver; this sandbox's
+    # 128 GiB masked it). A 10^12-clip corpus crosses the threshold
+    # and uses the O(log^2 n) star rounds either way.
+    cc_driver_max_edges: int = 2_000_000
 
     @property
     def lsh_rows(self) -> int:

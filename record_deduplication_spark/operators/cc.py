@@ -71,7 +71,14 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     on the driver (literally the reference's G1 algorithm,
     /root/reference/src/core/openai_deduplicator.py:126-172 semantics).
     Crossing cfg.cc_driver_max_edges routes to the distributed star
-    algorithm instead."""
+    algorithm instead.
+
+    Driver-memory contract: the collect costs ~515 B/edge Python-side
+    (measured: 10M Rows of two 13-char string ids = 4.8 GB + 0.36 GB
+    union-find dict — see test_driver_max_edges_budget), so the
+    2M-edge default budgets ~1 GB. Size cc_driver_max_edges to
+    (driver_heap_bytes / ~520) with headroom, not to what 'feels
+    small'."""
     spark = e.sparkSession
     parent: dict[str, str] = {}
 

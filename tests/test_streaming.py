@@ -150,3 +150,21 @@ def test_stateful_near_dup_suppression(spark, tmpdir_session):
     assert not out.loc["b2", "novel"]      # exact repeat in another block
     assert int(out.loc["a3", "n_seen"]) == 2
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_popcount_lut_equivalence():
+    """The vectorized byte-LUT Hamming scan in near_dup_suppress_stream
+    must equal the definitional 64-bit popcount for the FULL int64
+    range, including negative fingerprints (where the r2 scalar path's
+    bin() counted magnitude bits, not two's-complement)."""
+    import numpy as np
+
+    pop = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    rng = np.random.default_rng(7)
+    seen = rng.integers(-2**63, 2**63, 64, dtype=np.int64).view(np.uint64)
+    for fp in rng.integers(-2**63, 2**63, 100, dtype=np.int64):
+        x = np.bitwise_xor(seen, fp.astype(np.uint64))
+        d_vec = pop[x.view(np.uint8)].reshape(x.size, 8).sum(axis=1)
+        f = int(fp) & (2**64 - 1)
+        d_ref = [bin(f ^ int(s)).count("1") for s in seen.tolist()]
+        assert d_vec.tolist() == d_ref
