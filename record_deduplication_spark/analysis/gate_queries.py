@@ -1211,6 +1211,81 @@ ORDER BY doc_id
 """)
 
 
+def _coerce_digit_id_spark(spark: SparkSession) -> DataFrame:
+    """M6 engine op (functions/columns.coerce_digit_id): align
+    label/feature id dtypes by extracting the digit run from a
+    possibly-prefixed id — one regexp_extract codegen expression, no
+    UDF (reference regex-extracts + astypes per column,
+    /root/reference/src/core/model_engine.py:173-193,281-299). The
+    fixture plants all three shapes: digitless (-> NULL), prefixed
+    ("rec_000042"), and already-numeric."""
+    from pyspark.sql import functions as F
+
+    from ..functions.columns import coerce_digit_id
+
+    cust = spark.table("customer").select("c_custkey")
+    raw = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("no-digits-here"))
+         .when(F.col("c_custkey") % 3 == 0,
+               F.concat(F.lit("rec_"),
+                        F.lpad(F.col("c_custkey").cast("string"), 6, "0")))
+         .otherwise(F.col("c_custkey").cast("string")).alias("id_raw"))
+    return (raw.select("custkey", "id_raw",
+                       coerce_digit_id("id_raw").alias("id_long"))
+            .orderBy("custkey"))
+
+
+_fq("coerce_digit_id", _coerce_digit_id_spark, """
+WITH raw AS (
+  SELECT c_custkey AS custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'no-digits-here'
+              WHEN c_custkey % 3 = 0
+                THEN 'rec_' || lpad(c_custkey::VARCHAR, 6, '0')
+              ELSE c_custkey::VARCHAR END AS id_raw
+  FROM customer
+)
+SELECT custkey, id_raw,
+       CASE WHEN regexp_extract(id_raw, '([0-9]+)', 1) <> ''
+            THEN regexp_extract(id_raw, '([0-9]+)', 1)::BIGINT END AS id_long
+FROM raw ORDER BY custkey
+""")
+
+
+def _key_cocluster_spark(spark: SparkSession) -> DataFrame:
+    """C11 engine op (operators/cc.key_cocluster_edges): records
+    sharing a non-null exact key must ALWAYS co-cluster — edges come
+    from the same skew-safe tiered pairer the blocking stage uses
+    (raw-key blocking, no hash: hard merge constraints may not
+    collide), then connected components. Fixture: 37 key groups of
+    exactly 6 docs (key = doc_id % 37); the DuckDB twin expresses the
+    guaranteed outcome directly (component = min doc_id per key).
+    Reference approximates C11 with feature boosting,
+    /root/reference/src/core/clustering/hierarchical/subdivision_engine_v3.py:15-238."""
+    from pyspark.sql import functions as F
+
+    from ..config import DEFAULT_CONFIG
+    from ..operators.cc import connected_components, key_cocluster_edges
+
+    recs = (spark.table("documents")
+            .where(F.col("doc_id") < 222)
+            .select(F.lpad(F.col("doc_id").cast("string"), 6, "0")
+                    .alias("clip_id"),
+                    (F.col("doc_id") % 37).cast("string").alias("grp_key")))
+    edges = key_cocluster_edges(recs, "grp_key", DEFAULT_CONFIG)
+    comps = connected_components(edges, DEFAULT_CONFIG)
+    return (comps.select(F.col("clip_id").cast("bigint").alias("doc_id"),
+                         F.col("component").cast("bigint").alias("component"))
+            .orderBy("doc_id"))
+
+
+_fq("key_cocluster_components", _key_cocluster_spark, """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY (doc_id % 37)) AS component
+FROM documents WHERE doc_id < 222 ORDER BY doc_id
+""")
+
+
 def _events_windowed_stream_twin(spark: SparkSession) -> DataFrame:
     """The STREAMING windowed-counter operator
     (streaming/dedup_stream.windowed_event_counts) applied in batch

@@ -206,17 +206,41 @@ def incremental_candidates(new_signed: DataFrame, old_signed: DataFrame,
                          "id_2", "leftsemi")
     # a new x new pair appears in both branches; the source-set groupBy
     # absorbs the duplicate rows
-    return (touch_1.unionByName(touch_2)
+    return _sources_agg(touch_1.unionByName(touch_2))
+
+
+# bit per family, in this order: sources bit i <=> _SRC_ORDER[i]
+_SRC_ORDER = ("exact", "lsh", "simhash", "substring")
+
+
+def _sources_agg(pairs: DataFrame) -> DataFrame:
+    """(id_1, id_2, source)+ -> (id_1, id_2, sources array<string>).
+
+    The r2 version aggregated with collect_set(source):
+    ObjectHashAggregate with per-group array buffers, shuffling a
+    string per input row. Encoding each family as one bit and
+    aggregating with bit_or keeps the whole agg in whole-stage-codegen
+    HashAggregate on a long (map-side combinable, one long per pair in
+    the exchange), then decodes back to the identical — and now
+    deterministically ordered — array<string> column in one
+    projection. Downstream only does array_contains(sources, ...)."""
+    sbit = (F.when(F.col("source") == _SRC_ORDER[0], 1)
+             .when(F.col("source") == _SRC_ORDER[1], 2)
+             .when(F.col("source") == _SRC_ORDER[2], 4)
+             .otherwise(8))
+    arr = ", ".join(f"'{s}'" for s in _SRC_ORDER)
+    return (pairs.select("id_1", "id_2", sbit.alias("sbit"))
             .groupBy("id_1", "id_2")
-            .agg(F.collect_set("source").alias("sources")))
+            .agg(F.bit_or("sbit").alias("sbits"))
+            .select("id_1", "id_2",
+                    F.expr(f"filter(array({arr}), "
+                           f"(s, i) -> (shiftright(sbits, i) & 1) = 1)")
+                    .alias("sources")))
 
 
 def generate_candidates(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
     """B1-B5 in one pass: members -> pairs -> per-pair source set."""
-    pairs = pairs_within_blocks(block_members(signed, cfg), cfg)
-    return (pairs
-            .groupBy("id_1", "id_2")
-            .agg(F.collect_set("source").alias("sources")))
+    return _sources_agg(pairs_within_blocks(block_members(signed, cfg), cfg))
 
 
 def reduction_ratio(n_records: int, n_pairs: int) -> float:

@@ -68,9 +68,10 @@ def test_ann_broadcasts_query_side(spark):
 
 def test_blocking_join_count_bounded(spark, tmpdir_session):
     """The unified blocking pass serves all 4 block families from ONE
-    materialized member table; the tiered pairing adds exactly three
-    self-joins (small-tier full pairing, hot-tier intra-salt chain,
-    hot-tier representative chain) — never one join per family."""
+    materialized member table; the tiered pairing adds only the
+    members-x-sizes join (once per tier branch, shuffle-reused) — the
+    hot tier's chain and representative pairing are WINDOW passes, not
+    self-joins, and there is never one join per family."""
     import os
     from record_deduplication_spark.datagen import write_clips_parquet
     from record_deduplication_spark.operators.signatures import add_signatures
