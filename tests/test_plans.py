@@ -162,3 +162,25 @@ def test_bucketed_join_is_shuffle_free(spark, tmpdir_session):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_clips")
         spark.sql("DROP TABLE IF EXISTS bkt_signed")
+
+
+def test_candidates_source_agg_is_codegen_hashagg(spark, tmpdir_session):
+    """The per-pair source-set aggregation must stay a whole-stage-
+    codegen HashAggregate over the bit_or long — not ObjectHashAggregate
+    (collect_set's array buffers, the r2 shape): at 10^12-pair scale
+    the object-agg fallback spills and the exchange carries a string
+    per input row instead of one long per pair."""
+    import os
+    from record_deduplication_spark.datagen import write_clips_parquet
+    from record_deduplication_spark.operators.signatures import add_signatures
+    d = os.path.join(tmpdir_session, "planclips4")
+    cp, _ = write_clips_parquet(d, n_clips=200, seed=9)
+    clips = spark.read.parquet(cp)
+    signed = add_signatures(clips, DEFAULT_CONFIG)
+    plan = _plan(generate_candidates(signed, DEFAULT_CONFIG))
+    # the FINAL agg sits above the 3-branch pair Union in the printed
+    # tree (parents first); tier 1's size-bounded collect_list below
+    # the Union is object-agg by design (<= cap members per group)
+    top = plan.split("Union")[0]
+    assert "ObjectHashAggregate" not in top, top
+    assert "HashAggregate" in top, top
