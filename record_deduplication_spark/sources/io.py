@@ -51,6 +51,10 @@ def load_table(spark: SparkSession, path: str) -> DataFrame:
                                      schema=None if len(pdf) else
                                      ", ".join(f"`{c}` string"
                                                for c in pdf.columns))
+    if ext == ".orc":
+        # built into Spark (no external package) — common lakehouse
+        # interchange format alongside parquet
+        return spark.read.orc(path)
     if ext == ".parquet" or os.path.isdir(path):
         return spark.read.parquet(path)
     raise ValueError(f"Unsupported file format: {ext}")

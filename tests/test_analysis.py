@@ -325,3 +325,28 @@ def test_subdivide_oversized_round_robin_bound(spark):
     assert len(big) == 25
     assert big.groupby("cluster_key").size().max() <= 10
     assert out.set_index("clip_id").loc["solo", "cluster_key"] == "8"
+
+
+def test_ivf_null_and_empty_embeddings_guarded(spark, emb):
+    """ADVICE r2: one NULL/empty embedding row must not kill the job
+    (np.array of a ragged batch made np.linalg.norm raise inside the
+    Arrow UDF); bad rows are dropped before the UDF, and an
+    all-empty corpus fails fast with a clear error."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [])],
+        T.StructType([T.StructField("vec_id", T.LongType()),
+                      T.StructField("embedding",
+                                    T.ArrayType(T.FloatType()))]))
+    corpus = emb.select("vec_id", "embedding").unionByName(bad)
+    q = corpus.where(F.col("vec_id") < 3)
+    out = ivf_topk(corpus, q, k=3, n_cells=4, n_probe=4).toPandas()
+    assert set(out["query_id"]) == {0, 1, 2}
+    assert not out["neighbor_id"].isin([9001, 9002]).any()
+
+    empty = bad  # only null/empty rows
+    with pytest.raises(ValueError, match="no non-empty embedding"):
+        fit_ivf_centroids(empty, n_cells=4)

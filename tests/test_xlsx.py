@@ -73,6 +73,11 @@ def test_load_table_dispatch(tmp_path, spark, frame):
     c = str(tmp_path / "in.csv")
     frame[["record_id", "n"]].to_csv(c, index=False)
     assert load_table(spark, c).count() == 3
+    o = str(tmp_path / "in.orc")
+    spark.createDataFrame(frame[["record_id", "n"]]).write.orc(o)
+    got_orc = load_table(spark, o)
+    assert sorted(r.record_id for r in got_orc.collect()) == [
+        "rec_1", "rec_2", "rec_3"]
     with pytest.raises(ValueError):
         load_table(spark, str(tmp_path / "in.xls"))
     with pytest.raises(ValueError):
