@@ -469,9 +469,12 @@ def scaling(n_clips: int = 24000, reps: int = 3,
         # level; durations from each run's checkpoint metrics table)
         "stage_secs_best": {f"local[{lo}]": stage_best[lo],
                             f"local[{hi}]": stage_best[hi]},
-        "stage_speedup": {st: round(stage_best[lo][st] / stage_best[hi][st], 2)
-                          for st in stage_best[lo]
-                          if stage_best[hi].get(st, 0) > 0},
+        # null (not omitted) when a stage is missing at the hi level or
+        # its best rounds to 0.00 s — stage_secs_best and stage_speedup
+        # must list the same stages or the artifact reads asymmetric
+        "stage_speedup": {st: (round(stage_best[lo][st] / stage_best[hi][st], 2)
+                               if stage_best[hi].get(st, 0) > 0 else None)
+                          for st in stage_best[lo]},
         "host_spark_ceiling": ceiling,
         "efficiency_vs_host_ceiling": round(speedup / ceiling["speedup"], 3)
         if ceiling["speedup"] > 0 else None,

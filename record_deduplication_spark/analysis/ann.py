@@ -106,7 +106,15 @@ def fit_ivf_centroids(corpus: DataFrame, n_cells: int = 64,
     if n > sample_n:
         frac_df = frac_df.sample(fraction=min(1.0, 1.2 * sample_n / n),
                                  seed=seed).limit(sample_n)
-    x = np.array(frac_df.toPandas()[vec_col].tolist(), dtype=np.float64)
+    vals = frac_df.toPandas()[vec_col].tolist()
+    # ragged guard: a mixed-dimension corpus (partial re-embed, schema
+    # migration) would make np.array build an object array and norm
+    # raise — fit on the MODAL dimension and let ivf_topk's size filter
+    # drop the off-dimension rows consistently
+    lens = [len(v) for v in vals]
+    modal = max(set(lens), key=lens.count)
+    vals = [v for v, l in zip(vals, lens) if l == modal]
+    x = np.array(vals, dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     k = min(n_cells, len(x))
@@ -170,10 +178,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     c_assign = _probe_cells_udf(centroids, 1)
     q_assign = _probe_cells_udf(centroids, n_probe)
-    # NULL/empty embeddings are dropped BEFORE the Arrow UDF: one bad
-    # row would otherwise make np.array(v.tolist()) ragged/1-D and
-    # np.linalg.norm(x, axis=1) raise, killing the whole job
-    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    # NULL/empty/off-dimension embeddings are dropped BEFORE the Arrow
+    # UDF: one bad row would otherwise make np.array(v.tolist()) ragged
+    # and np.linalg.norm(x, axis=1) raise, killing the whole job. The
+    # quantizer's dimension is the contract — rows of any other size
+    # cannot be scored against its centroids.
+    dim = int(centroids.shape[1])
+    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     cb = (corpus.where(ok)
           .select(F.col(id_col).alias("neighbor_id"),
                   F.col(vec_col).alias("cv"),

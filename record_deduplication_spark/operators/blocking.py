@@ -224,10 +224,16 @@ def _sources_agg(pairs: DataFrame) -> DataFrame:
     the exchange), then decodes back to the identical — and now
     deterministically ordered — array<string> column in one
     projection. Downstream only does array_contains(sources, ...)."""
+    # an unknown source must fail LOUDLY: collect_set used to carry any
+    # value faithfully, so a silent otherwise(8) would relabel a fifth
+    # block family as "substring" and mis-route its pairs in verify
     sbit = (F.when(F.col("source") == _SRC_ORDER[0], 1)
              .when(F.col("source") == _SRC_ORDER[1], 2)
              .when(F.col("source") == _SRC_ORDER[2], 4)
-             .otherwise(8))
+             .when(F.col("source") == _SRC_ORDER[3], 8)
+             .otherwise(F.raise_error(F.concat(
+                 F.lit("unknown block source: "),
+                 F.col("source"))).cast("int")))
     arr = ", ".join(f"'{s}'" for s in _SRC_ORDER)
     return (pairs.select("id_1", "id_2", sbit.alias("sbit"))
             .groupBy("id_1", "id_2")

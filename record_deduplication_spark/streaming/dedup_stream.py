@@ -132,28 +132,37 @@ def near_dup_suppress_stream(stream: DataFrame, hamming_k: int = 3,
 
     def suppress(key, pdfs, state: GroupState):
         prev = list(state.get[0]) if state.exists else []
-        seen = np.array(prev, dtype=np.int64).view(np.uint64)
+        # growable buffer with doubling (amortized O(1) append): a
+        # np.append per novel fp would copy the whole array each time —
+        # O(N^2) on a batch of N mostly-novel fps for one key
+        n = len(prev)
+        buf = np.empty(max(2 * n, 64), dtype=np.uint64)
+        buf[:n] = np.array(prev, dtype=np.int64).view(np.uint64)
         rows = {"clip_id": [], "block_key": [], "fp": [],
                 "novel": [], "n_seen": []}
         for pdf in pdfs:
             fps = pdf[fp_col].to_numpy(dtype=np.int64)
             for cid, fp in zip(pdf["clip_id"], fps):
                 u = fp.astype(np.uint64)
-                if seen.size:
-                    x = np.bitwise_xor(seen, u)
+                if n:
+                    x = np.bitwise_xor(buf[:n], u)
                     dmin = int(pop[x.view(np.uint8)]
                                .reshape(x.size, 8).sum(axis=1).min())
                     novel = dmin > hamming_k
                 else:
                     novel = True
                 if novel:
-                    seen = np.append(seen, u)
+                    if n == buf.size:
+                        buf = np.concatenate([buf, np.empty_like(buf)])
+                    buf[n] = u
+                    n += 1
                 rows["clip_id"].append(cid)
                 rows["block_key"].append(key[0])
                 rows["fp"].append(int(fp))
                 rows["novel"].append(novel)
-                rows["n_seen"].append(int(seen.size))
-        state.update((seen[-max_state_fps:].view(np.int64).tolist(),))
+                rows["n_seen"].append(n)
+        state.update((buf[max(0, n - max_state_fps):n]
+                      .view(np.int64).tolist(),))
         yield pd.DataFrame(rows)
 
     return (stream

@@ -337,7 +337,7 @@ def test_ivf_null_and_empty_embeddings_guarded(spark, emb):
     from pyspark.sql import types as T
 
     bad = spark.createDataFrame(
-        [(9001, None), (9002, [])],
+        [(9001, None), (9002, []), (9003, [1.0, 2.0, 3.0])],
         T.StructType([T.StructField("vec_id", T.LongType()),
                       T.StructField("embedding",
                                     T.ArrayType(T.FloatType()))]))
@@ -345,8 +345,10 @@ def test_ivf_null_and_empty_embeddings_guarded(spark, emb):
     q = corpus.where(F.col("vec_id") < 3)
     out = ivf_topk(corpus, q, k=3, n_cells=4, n_probe=4).toPandas()
     assert set(out["query_id"]) == {0, 1, 2}
-    assert not out["neighbor_id"].isin([9001, 9002]).any()
+    # 9003 is non-empty but off-dimension (ragged) — it must be dropped
+    # too, not crash the UDF's np.array/norm
+    assert not out["neighbor_id"].isin([9001, 9002, 9003]).any()
 
-    empty = bad  # only null/empty rows
+    empty = bad.where("vec_id < 9003")  # only null/empty rows
     with pytest.raises(ValueError, match="no non-empty embedding"):
         fit_ivf_centroids(empty, n_cells=4)

@@ -224,3 +224,19 @@ def test_driver_max_edges_budget():
         f"cc_driver_max_edges={DEFAULT_CONFIG.cc_driver_max_edges} "
         f"implies ~{budget_gb:.1f} GB driver heap at 520 B/edge — "
         f"unsafe for a standard 8 GB cluster driver")
+
+
+def test_sources_agg_rejects_unknown_source(spark):
+    """The bitmask source agg must fail LOUDLY on an unrecognized block
+    family (collect_set carried any value faithfully; a silent
+    otherwise() would relabel a fifth family as 'substring' and
+    mis-route its pairs in verify)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from record_deduplication_spark.operators.blocking import _sources_agg
+    pairs = spark.createDataFrame(
+        [("a", "b", "lsh"), ("a", "b", "mystery")],
+        "id_1 string, id_2 string, source string")
+    with pytest.raises(Exception, match="unknown block source: mystery"):
+        _sources_agg(pairs).collect()

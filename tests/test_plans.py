@@ -82,8 +82,11 @@ def test_blocking_join_count_bounded(spark, tmpdir_session):
     plan = _plan(generate_candidates(signed, DEFAULT_CONFIG))
     join_nodes = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
     assert 1 <= len(join_nodes) <= 3, plan
-    # the sized member table is localCheckpoint-materialized before the
-    # tier split, so the sizes groupBy+join never re-executes per side
+    # the RAW member table (explode+xxhash subtree) is localCheckpoint-
+    # materialized once; both tier branches and the size agg read that
+    # pinned RDD instead of recomputing the explode per consumer (the
+    # sized members-x-sizes join is deliberately NOT checkpointed — its
+    # (source,bkey) partitioning feeds tier 1's groupBy exchange-free)
     assert "ScanExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
 
 
