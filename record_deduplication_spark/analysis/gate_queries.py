@@ -1211,6 +1211,58 @@ ORDER BY doc_id
 """)
 
 
+def _tiered_pairing_spark(spark: SparkSession) -> DataFrame:
+    """B1-B5 core engine op (operators/blocking.pairs_within_blocks +
+    the bitmask source agg) under the hash gate: a deterministic
+    member table (two block families over documents; every block under
+    max_block_full_pairs, so the oracle's full pairing is the exact
+    expected output — the salted hot tier is measured separately in
+    tests/test_blocking.py because its xxhash64 salt has no DuckDB
+    twin). Reference: blocking B1-B5 at
+    /root/reference/src/core/blocking_engine.py:51-128."""
+    from pyspark.sql import functions as F
+
+    from ..config import DEFAULT_CONFIG
+    from ..operators.blocking import _sources_agg, pairs_within_blocks
+
+    docs = spark.table("documents").where(F.col("doc_id") < 300)
+    fam1 = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("clip_id"),
+        F.lit("exact").alias("source"),
+        (F.col("doc_id") % 40).cast("long").alias("bkey"))
+    fam2 = (docs.where(F.col("doc_id") % 3 == 0)
+            .select(F.lpad(F.col("doc_id").cast("string"), 6, "0")
+                    .alias("clip_id"),
+                    F.lit("lsh").alias("source"),
+                    (F.col("doc_id") % 7).cast("long").alias("bkey")))
+    members = fam1.unionByName(fam2)
+    pairs = pairs_within_blocks(members, DEFAULT_CONFIG)
+    out = _sources_agg(pairs)
+    return (out.select(F.col("id_1").cast("bigint").alias("id_1"),
+                       F.col("id_2").cast("bigint").alias("id_2"),
+                       F.array_join("sources", ",").alias("sources"))
+            .orderBy("id_1", "id_2"))
+
+
+_fq("tiered_pairing_small_blocks", _tiered_pairing_spark, """
+WITH m AS (
+  SELECT doc_id, 'exact' AS source, doc_id % 40 AS bkey
+  FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id, 'lsh' AS source, doc_id % 7 AS bkey
+  FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0
+),
+p AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, a.source
+  FROM m a JOIN m b
+    ON a.source = b.source AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT id_1, id_2,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+FROM p GROUP BY id_1, id_2 ORDER BY id_1, id_2
+""")
+
+
 def _coerce_digit_id_spark(spark: SparkSession) -> DataFrame:
     """M6 engine op (functions/columns.coerce_digit_id): align
     label/feature id dtypes by extracting the digit run from a
