@@ -116,6 +116,91 @@ class DedupPipeline:
                               candidates=cands, stats=stats,
                               subdivided=subdivided)
 
+    def run_incremental(self, new_clips: DataFrame,
+                        all_clips: DataFrame) -> PipelineResult:
+        """Daily-ingest shape: fold a NEW batch into a completed run
+        without re-pairing old x old (at 10^12 rows a full re-run
+        re-verifies every pair the previous run already owns).
+
+        * `new_clips`: the newly ingested batch only;
+        * `all_clips`: the full corpus table including the batch (at
+          cluster scale this is the growing Iceberg table itself — the
+          payload source for audio verification of old x new pairs).
+
+        Steps: sign the batch; `incremental_candidates` against the
+        stored signed table (block-pruned, old x old dropped); verify
+        ONLY those pairs (context/payload joins read both old and new
+        rows); union the new edges with the stored edge table (disjoint
+        by construction: every new edge touches a new clip, which no
+        old edge can); connected components over the union. The
+        combined `signed`/`candidates`/`edges`/`clusters` tables are
+        COMMITTED back, so the next batch folds into this run's state.
+        Work scales with |new| + touched blocks, never |old|^2
+        (pair-for-pair equality with the full run is proven in
+        tests/test_blocking.py and tests/test_pipeline_e2e.py).
+
+        Precondition: `new_clips` ids are NEW (not re-ingests of
+        existing clip_ids) — dedup of the id space itself belongs to
+        the ingest layer (streaming/dedup_stream exact_dedup_stream)."""
+        cfg = self.cfg
+        run_id = self.store.next_run_id()
+        for stage in ("signed", "candidates", "edges"):
+            if not self.store.exists(stage):
+                raise ValueError(
+                    f"run_incremental needs a completed prior run: "
+                    f"stage table {stage!r} not found under the workdir")
+        signed_old = self.store.read("signed")
+
+        t0 = time.time()
+        signed_new = add_signatures(new_clips, cfg).localCheckpoint(eager=True)
+        n_new = signed_new.count()
+        self.store.log(run_id, "signed_inc", t0, n_new,
+                       signed_new.rdd.getNumPartitions())
+
+        t0 = time.time()
+        cands_new = B.incremental_candidates(signed_new, signed_old, cfg) \
+                     .localCheckpoint(eager=True)
+        n_cands_new = cands_new.count()
+        self.store.log(run_id, "candidates_inc", t0, n_cands_new, 0)
+
+        t0 = time.time()
+        edges_new = build_edges(cands_new,
+                                signed_old.unionByName(signed_new),
+                                all_clips, cfg)
+        # O(|new|) appends, never a rewrite of the corpus-sized stage
+        # tables (Iceberg mode: snapshot appends). The edge union is
+        # disjoint by construction: every incremental edge touches a
+        # new clip, which no old edge can.
+        edges_all = self.store.append("edges", edges_new)
+        n_edges = edges_all.count()
+        self.store.log(run_id, "edges_inc", t0, n_edges, 0)
+
+        signed_all = self.store.append("signed", signed_new)
+        cands_all = self.store.append("candidates", cands_new)
+        t0 = time.time()
+        clusters = self.store.write(
+            "clusters",
+            assign_clusters(signed_all.select("clip_id"),
+                            connected_components(
+                                edges_all.select("id_1", "id_2"), cfg),
+                            cfg))
+        n_clips = signed_all.count()
+        self.store.log(run_id, "clusters_inc", t0, n_clips, 0)
+        stats = {
+            "n_clips": n_clips,
+            "n_new_clips": n_new,
+            "n_candidates": cands_all.count(),
+            "n_new_candidates": n_cands_new,
+            "n_edges": n_edges,
+            "n_clusters": clusters.where(clustered())
+                                  .select("cluster_id").distinct().count(),
+        }
+        self.store.log(run_id, "pipeline_done", time.time(), n_clips, 0,
+                       **stats)
+        self.store.flush()
+        return PipelineResult(clusters=clusters, edges=edges_all,
+                              candidates=cands_all, stats=stats)
+
     def _subdivide(self, clusters: DataFrame, edges: DataFrame,
                    signed: DataFrame, max_size: int) -> DataFrame:
         """C6 post-stage: size-bound the cluster table via the adaptive

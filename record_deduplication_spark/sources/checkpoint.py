@@ -108,6 +108,23 @@ class CheckpointStore:
             df.write.mode("overwrite").parquet(self.path(stage))
         return self.read(stage)
 
+    def append(self, stage: str, df: DataFrame) -> DataFrame:
+        """Fold new rows into an existing stage table WITHOUT rewriting
+        it — the incremental-ingest primitive (O(|new|) IO; a full
+        rewrite of the signed/edge tables would be O(|corpus|) per
+        batch). Iceberg mode is a snapshot append; parquet mode adds
+        part files alongside the committed ones (columns are aligned
+        by the existing table's order first, since the parquet reader
+        merges files by position-independent name only when schemas
+        agree)."""
+        existing = self.read(stage)
+        df = df.select(*existing.columns)
+        if self.use_iceberg:
+            df.writeTo(self.path(stage)).append()
+        else:
+            df.write.mode("append").parquet(self.path(stage))
+        return self.read(stage)
+
     def read(self, stage: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.table(self.path(stage))

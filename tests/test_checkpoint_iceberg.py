@@ -44,6 +44,7 @@ class FakeDF:
     def __init__(self, log, name="df", collect_rows=None):
         self.log = log
         self.name = name
+        self.columns = []
         self._rows = collect_rows or []
 
     def writeTo(self, table):
@@ -216,3 +217,23 @@ def test_parquet_mode_rejects_remote_uri(monkeypatch):
     monkeypatch.setattr(cp, "_iceberg_available", lambda spark: False)
     with pytest.raises(ValueError, match="Iceberg catalog"):
         cp.CheckpointStore(FakeSpark(), "s3://bucket/workdir")
+
+
+def test_iceberg_append_stage(iceberg_store):
+    """append() (the incremental-ingest primitive) must commit a
+    snapshot APPEND in Iceberg mode — never createOrReplace — after
+    aligning columns to the existing table's order."""
+    fake, store = iceberg_store
+    existing = FakeDF(fake.log, "existing")
+    existing.columns = ["id_1", "id_2", "verdict", "score"]
+    fake.tables["catalog.db.edges"] = existing
+    new = FakeDF(fake.log, "new_rows")
+    new.columns = ["score", "verdict", "id_2", "id_1"]  # out of order
+
+    out = store.append("edges", new)
+    assert ("select", "new_rows", ("id_1", "id_2", "verdict", "score")) \
+        in fake.log
+    assert ("writeTo", "catalog.db.edges") in fake.log
+    assert ("append", "catalog.db.edges") in fake.log
+    assert ("createOrReplace", "catalog.db.edges") not in fake.log
+    assert out is existing  # re-read after commit

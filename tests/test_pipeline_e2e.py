@@ -134,3 +134,56 @@ def test_subdivision_post_stage(spark, corpus_paths, tmpdir_session, result):
     assert (moved.apply(lambda r: r.cluster_key.startswith(r.cluster_id), axis=1)).all()
     # noise stays noise
     assert merged[merged.cluster_id.isna()]["cluster_key"].isna().all()
+
+
+def test_run_incremental_equals_full_run(spark, tmp_path):
+    """Daily-ingest contract: completing a run on the OLD corpus and
+    folding in the NEW batch via run_incremental must produce exactly
+    the clusters a from-scratch run on the combined corpus produces —
+    while appending O(|new|) rows to the stage tables instead of
+    rewriting them."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from record_deduplication_spark.datagen import generate_clips
+    from record_deduplication_spark.plans.pipeline import DedupPipeline
+
+    clips_pdf, _ = generate_clips(n_clips=500, seed=33)
+    clips = spark.createDataFrame(clips_pdf).localCheckpoint(eager=True)
+    is_new = F.pmod(F.xxhash64("clip_id"), F.lit(5)) == 0
+    old_clips = clips.where(~is_new).localCheckpoint(eager=True)
+    new_clips = clips.where(is_new).localCheckpoint(eager=True)
+
+    full = DedupPipeline(spark, str(tmp_path / "full")).run(
+        clips, resume=False)
+    full_c = full.clusters.toPandas().sort_values("clip_id") \
+                 .reset_index(drop=True)
+
+    pipe = DedupPipeline(spark, str(tmp_path / "inc"))
+    pipe.run(old_clips, resume=False)
+    inc = pipe.run_incremental(new_clips, all_clips=clips)
+    inc_c = inc.clusters.toPandas().sort_values("clip_id") \
+                .reset_index(drop=True)
+
+    assert full_c.equals(inc_c), (
+        full_c.merge(inc_c, on="clip_id", suffixes=("_full", "_inc"))
+        .query("cluster_id_full != cluster_id_inc").head())
+    # edge sets identical too (verdicts included)
+    fe = {tuple(r) for r in full.edges.select(
+        "id_1", "id_2", "verdict").collect()}
+    ie = {tuple(r) for r in inc.edges.select(
+        "id_1", "id_2", "verdict").collect()}
+    assert fe == ie
+    # incremental stats surface the fold
+    assert inc.stats["n_new_clips"] > 0
+    assert inc.stats["n_clips"] == clips.count()
+    # metrics table records the incremental stages
+    stages = set(pipe.store.metrics().toPandas()["stage"])
+    assert {"signed_inc", "candidates_inc", "edges_inc",
+            "clusters_inc"} <= stages
+    # a fresh incremental run requires a completed prior run
+    import pytest
+    with pytest.raises(ValueError, match="completed prior run"):
+        DedupPipeline(spark, str(tmp_path / "empty")).run_incremental(
+            new_clips, all_clips=clips)
