@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--max-cluster-size", type=int, default=None,
                     help="run the C6 adaptive subdivision post-stage and "
                          "commit a size-bounded clusters_sub table")
+    ap.add_argument("--incremental-input", default=None, metavar="PATH",
+                    help="daily-ingest mode: fold ONLY this new batch into "
+                         "the completed run under --workdir (O(|new|) stage "
+                         "appends, no old x old re-pairing); --input must "
+                         "then be the FULL corpus including the batch — the "
+                         "payload source for old x new audio verification")
     ap.add_argument("--master", default=None,
                     help="only for local runs; under spark-submit leave unset")
     ap.add_argument("--json-out", default=None,
@@ -128,16 +134,22 @@ def main(argv: list[str] | None = None) -> int:
     active = SparkSession.getActiveSession()
     spark = active or build_session(app="dedup_submit", master=args.master)
 
-    if "/" not in args.input and not args.input.endswith(
-            (".parquet", ".csv", ".json", ".jsonl", ".ndjson",
-             ".xlsx", ".xls")):
-        clips = spark.read.table(args.input)
-    else:
+    def _load(name: str):
+        if "/" not in name and not name.endswith(
+                (".parquet", ".orc", ".csv", ".json", ".jsonl", ".ndjson",
+                 ".xlsx", ".xls")):
+            return spark.read.table(name)
         from .sources.io import load_table
-        clips = load_table(spark, args.input)
+        return load_table(spark, name)
 
-    res = DedupPipeline(spark, args.workdir, cfg).run(
-        clips, resume=args.resume, max_cluster_size=args.max_cluster_size)
+    clips = _load(args.input)
+    pipe = DedupPipeline(spark, args.workdir, cfg)
+    if args.incremental_input:
+        res = pipe.run_incremental(_load(args.incremental_input),
+                                   all_clips=clips)
+    else:
+        res = pipe.run(clips, resume=args.resume,
+                       max_cluster_size=args.max_cluster_size)
     stats = {"config": cfg.to_dict(), **res.stats}
     if args.report:
         from .operators.verify import edge_prob01

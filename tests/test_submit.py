@@ -73,3 +73,46 @@ def test_config_overrides_typed():
         parse_config_overrides(["not_a_key=1"])
     with pytest.raises(SystemExit):
         parse_config_overrides(["malformed"])
+
+
+def test_cli_incremental_mode(tmp_path, spark):
+    """--incremental-input folds a new batch into a completed run via
+    cli.main, producing the same clusters a full-run CLI invocation
+    over the combined corpus produces."""
+    import json
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from record_deduplication_spark.cli import main
+    from record_deduplication_spark.datagen import generate_clips
+
+    clips_pdf, _ = generate_clips(n_clips=300, seed=44)
+    clips = spark.createDataFrame(clips_pdf)
+    is_new = F.pmod(F.xxhash64("clip_id"), F.lit(5)) == 0
+    allp = str(tmp_path / "all.parquet")
+    oldp = str(tmp_path / "old.parquet")
+    newp = str(tmp_path / "new.parquet")
+    clips.write.parquet(allp)
+    clips.where(~is_new).write.parquet(oldp)
+    clips.where(is_new).write.parquet(newp)
+
+    wd_full = str(tmp_path / "wd_full")
+    wd_inc = str(tmp_path / "wd_inc")
+    out_full = str(tmp_path / "full.json")
+    out_inc = str(tmp_path / "inc.json")
+    assert main(["--input", allp, "--workdir", wd_full,
+                 "--json-out", out_full]) == 0
+    assert main(["--input", oldp, "--workdir", wd_inc]) == 0
+    assert main(["--input", allp, "--workdir", wd_inc,
+                 "--incremental-input", newp,
+                 "--json-out", out_inc]) == 0
+
+    stats = json.load(open(out_inc))
+    assert stats["n_new_clips"] > 0
+    assert stats["n_clips"] == 300
+    a = pd.read_parquet(f"{wd_full}/clusters").sort_values("clip_id") \
+          .reset_index(drop=True)
+    b = pd.read_parquet(f"{wd_inc}/clusters").sort_values("clip_id") \
+          .reset_index(drop=True)
+    assert a.equals(b)
