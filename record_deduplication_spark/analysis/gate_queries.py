@@ -1058,6 +1058,66 @@ FROM documents GROUP BY lang, source
 HAVING count(*) BETWEEN 3 AND 500 ORDER BY lang, source
 """)
 
+# ---- training-data extra: train/eval n-gram decontamination ----
+# Engine analog: analysis/decontaminate.py (same dataflow with
+# xxhash64 grams; the gate uses the md5 hash for cross-engine parity).
+# Contamination is PLANTED so the gate cannot go vacuous at any SF:
+# eval docs (doc_id % 10 = 0) get their own text concatenated with the
+# text of doc_id+1 — a train member, since (doc_id+1) % 10 = 1 — so
+# every eval doc shares at least the neighbor's grams with train,
+# while its own-text grams stay mostly clean: ratios land strictly
+# inside (0, 1) and any join/agg defect moves the hash.
+_DECON_N = 5
+_decon_spark = f"""
+WITH ev AS (
+  SELECT d.doc_id, concat(d.text, ' ', c.text) AS text
+  FROM documents d JOIN documents c ON c.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 10 = 0 AND d.text IS NOT NULL AND c.text IS NOT NULL
+),
+evt AS (SELECT doc_id, split(text, ' ') AS w FROM ev),
+trt AS (SELECT doc_id, split(text, ' ') AS w FROM documents
+        WHERE doc_id % 10 <> 0 AND text IS NOT NULL),
+evg AS (
+  SELECT DISTINCT doc_id, {_H_SPARK.format(x=_gram_spark(_DECON_N))} AS h
+  FROM evt LATERAL VIEW explode(sequence(0, size(w)-{_DECON_N})) t AS i
+  WHERE size(w) >= {_DECON_N}
+),
+trg AS (
+  SELECT DISTINCT {_H_SPARK.format(x=_gram_spark(_DECON_N))} AS h
+  FROM trt LATERAL VIEW explode(sequence(0, size(w)-{_DECON_N})) t AS i
+  WHERE size(w) >= {_DECON_N}
+)
+SELECT e.doc_id, count(*) AS n_grams, count(t.h) AS n_contaminated,
+       round(count(t.h) / count(*), 6) AS contamination_ratio
+FROM evg e LEFT JOIN trg t ON e.h = t.h
+GROUP BY e.doc_id ORDER BY e.doc_id
+"""
+_decon_duck = f"""
+WITH ev AS (
+  SELECT d.doc_id, d.text || ' ' || c.text AS text
+  FROM documents d JOIN documents c ON c.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 10 = 0 AND d.text IS NOT NULL AND c.text IS NOT NULL
+),
+evt AS (SELECT doc_id, string_split(text, ' ') AS w FROM ev),
+trt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % 10 <> 0 AND text IS NOT NULL),
+evg AS (
+  SELECT DISTINCT doc_id, {_H_DUCK.format(x=_gram_duck(_DECON_N))} AS h
+  FROM evt, unnest(range(len(w)-{_DECON_N}+1)) AS t(i)
+  WHERE len(w) >= {_DECON_N}
+),
+trg AS (
+  SELECT DISTINCT {_H_DUCK.format(x=_gram_duck(_DECON_N))} AS h
+  FROM trt, unnest(range(len(w)-{_DECON_N}+1)) AS t(i)
+  WHERE len(w) >= {_DECON_N}
+)
+SELECT e.doc_id, count(*) AS n_grams, count(t.h) AS n_contaminated,
+       round(count(t.h) / count(*), 6) AS contamination_ratio
+FROM evg e LEFT JOIN trg t ON e.h = t.h
+GROUP BY e.doc_id ORDER BY e.doc_id
+"""
+_q("ngram_decontamination", _decon_spark, _decon_duck)
+
 
 # --------------------------------------------------------------------------
 # Engine-operator gates: Spark side is ENGINE DataFrame code (not SQL),

@@ -55,6 +55,8 @@ def test_paired_query_matches_duckdb(spark, duck, name):
                                   # exact_dup_groups was vacuous in r1/r2
                                   # (0 rows both engines); it now plants
                                   # dups and must never be degenerate again
-                                  "exact_dup_groups", "review_json_flatten"])
+                                  "exact_dup_groups", "review_json_flatten",
+                                  # planted contamination: must stay non-vacuous
+                                  "ngram_decontamination"])
 def test_interesting_queries_nonempty(spark, name):
     assert G.run_spark(spark, SF_DIR, name).count() > 0, f"{name} degenerate (0 rows)"
