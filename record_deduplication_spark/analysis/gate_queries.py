@@ -1705,6 +1705,43 @@ FROM t ORDER BY custkey
 """)
 
 
+# ---- training-data extra: SemDeDup-style semantic dedup verdicts ----
+# Spark side is the ENGINE kernel (analysis/semdedup.py applyInPandas
+# per-cell matmul) with deterministic cells (= the planted `label`
+# column) so the DuckDB twin is exactly expressible: row i is dropped
+# iff any j < i in the same cell has round(cos, 4) >= tau. Production
+# uses kmeans cells instead (cell_col=None); that path is pytest-
+# covered (test_analysis.py) since the fit is not SQL-expressible.
+_SEMD_TAU = 0.35  # matches embedding_near_dup_pairs: known non-vacuous
+
+
+def _semantic_dedup_spark(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .semdedup import semantic_dedup
+
+    emb = spark.table("embeddings")
+    out = semantic_dedup(emb, cell_col="label", tau=_SEMD_TAU)
+    return (out.select(F.col("vec_id"), F.col("cell"), F.col("kept"))
+            .orderBy("vec_id"))
+
+
+_fq("semantic_dedup_cells", _semantic_dedup_spark, f"""
+WITH pri AS (
+  SELECT a.vec_id AS i,
+         max(round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4)) AS mx
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND b.vec_id < a.vec_id
+  GROUP BY a.vec_id
+)
+SELECT e.vec_id, CAST(e.label AS BIGINT) AS cell,
+       coalesce(p.mx, -2) < {_SEMD_TAU} AS kept
+FROM embeddings e LEFT JOIN pri p ON e.vec_id = p.i
+ORDER BY e.vec_id
+""")
+
+
 # --------------------------------------------------------------------------
 # Runners
 # --------------------------------------------------------------------------

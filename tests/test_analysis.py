@@ -352,3 +352,36 @@ def test_ivf_null_and_empty_embeddings_guarded(spark, emb):
     empty = bad.where("vec_id < 9003")  # only null/empty rows
     with pytest.raises(ValueError, match="no non-empty embedding"):
         fit_ivf_centroids(empty, n_cells=4)
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark, emb):
+    """SemDeDup production path (kmeans cells): exact-duplicate rows
+    land in the same cell and the higher id of each identical pair is
+    dropped; everything else survives at a near-1 tau."""
+    from record_deduplication_spark.analysis.semdedup import semantic_dedup
+
+    base = emb.select("vec_id", "embedding").where(F.col("vec_id") < 200)
+    dups = base.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    out = (semantic_dedup(base.unionByName(dups), tau=0.9999,
+                          n_cells=8, seed=7)
+           .toPandas().set_index("vec_id"))
+    assert len(out) == 220
+    # every planted dup (higher id than its identical twin) is dropped
+    assert not out.loc[10_000:10_019, "kept"].any()
+    # originals are kept unless they already had a near-identical
+    # earlier neighbor in the natural data (tau=0.9999: none expected)
+    assert out.loc[:199, "kept"].all()
+
+
+def test_semantic_dedup_cell_guard_and_determinism(spark, emb):
+    from record_deduplication_spark.analysis.semdedup import semantic_dedup
+
+    small = emb.select("vec_id", "embedding", "label").where(F.col("vec_id") < 64)
+    with pytest.raises(Exception, match="max_cell_rows"):
+        semantic_dedup(small, cell_col="label", tau=0.5,
+                       max_cell_rows=2).toPandas()
+    a = semantic_dedup(small, tau=0.5, n_cells=4, seed=3).toPandas()
+    b = semantic_dedup(small, tau=0.5, n_cells=4, seed=3).toPandas()
+    assert a.sort_values("vec_id").reset_index(drop=True).equals(
+        b.sort_values("vec_id").reset_index(drop=True))
