@@ -1118,6 +1118,51 @@ GROUP BY e.doc_id ORDER BY e.doc_id
 """
 _q("ngram_decontamination", _decon_spark, _decon_duck)
 
+# ---- training-data extra: Gopher-style repetition signals ----
+# Engine analog: analysis/textstats.py repetition_stats (same
+# semantics over xxhash64 gram hashes; the gate groups by the gram
+# string for cross-engine parity). Duplicate-word fraction,
+# duplicate-2-gram fraction, and top-2-gram share per document.
+_rep_spark = f"""
+WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents
+              WHERE text IS NOT NULL),
+g2 AS (
+  SELECT doc_id, {_gram_spark(2)} AS g
+  FROM toks LATERAL VIEW explode(sequence(0, size(w)-2)) t AS i
+  WHERE size(w) >= 2
+),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+ga AS (SELECT doc_id, sum(c) AS n2, count(*) AS nd, max(c) AS mx
+       FROM cnt GROUP BY doc_id),
+wd AS (SELECT doc_id, size(w) AS nw, size(array_distinct(w)) AS ndw FROM toks)
+SELECT w.doc_id, CAST(w.nw AS BIGINT) AS n_tokens,
+       round((w.nw - w.ndw) / w.nw, 6) AS dup_word_fraction,
+       CAST(g.n2 AS BIGINT) AS n_grams,
+       round((g.n2 - g.nd) / g.n2, 6) AS dup_ngram_fraction,
+       round(g.mx / g.n2, 6) AS top_ngram_share
+FROM wd w JOIN ga g ON w.doc_id = g.doc_id ORDER BY w.doc_id
+"""
+_rep_duck = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE text IS NOT NULL),
+g2 AS (
+  SELECT doc_id, {_gram_duck(2)} AS g
+  FROM toks, unnest(range(len(w)-1)) AS t(i)
+  WHERE len(w) >= 2
+),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+ga AS (SELECT doc_id, sum(c) AS n2, count(*) AS nd, max(c) AS mx
+       FROM cnt GROUP BY doc_id),
+wd AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS ndw FROM toks)
+SELECT w.doc_id, CAST(w.nw AS BIGINT) AS n_tokens,
+       round((w.nw - w.ndw) / w.nw, 6) AS dup_word_fraction,
+       CAST(g.n2 AS BIGINT) AS n_grams,
+       round((g.n2 - g.nd) / g.n2, 6) AS dup_ngram_fraction,
+       round(g.mx / g.n2, 6) AS top_ngram_share
+FROM wd w JOIN ga g ON w.doc_id = g.doc_id ORDER BY w.doc_id
+"""
+_q("repetition_stats", _rep_spark, _rep_duck)
+
 
 # --------------------------------------------------------------------------
 # Engine-operator gates: Spark side is ENGINE DataFrame code (not SQL),

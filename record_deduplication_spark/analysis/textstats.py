@@ -111,3 +111,42 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text",
               CAST(0 AS BIGINT),
               (acc, x) -> (acc * 131 + x) % 1000000007)
         """))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction, duplicate-n-gram fraction, and the share of the single
+    most frequent n-gram (Rae et al. 2021 use these to drop boiler-
+    plate/spam before training).
+
+    Scale shape: grams are xxhash64'd in a codegen expression before
+    the explode, so the groupBy shuffles (id, 8-byte hash) — never the
+    text; both aggregations are partial-agg friendly HashAggregates.
+    Documents shorter than n tokens are omitted (nothing to repeat).
+    Returns (id, n_tokens, dup_word_fraction, n_grams,
+    dup_ngram_fraction, top_ngram_share).
+    """
+    terms = ", ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    grams = F.expr(
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(0, size(w) - {n}), "
+        f"i -> xxhash64(concat_ws(' ', {terms}))) ELSE array() END")
+    toks = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), F.split(F.col(text_col), " ").alias("w")))
+    word = toks.select(
+        id_col, F.size("w").alias("n_tokens"),
+        F.round((F.size("w") - F.size(F.array_distinct("w"))) /
+                F.size("w"), 6).alias("dup_word_fraction"))
+    per_gram = (toks.select(id_col, F.explode(grams).alias("gh"))
+                .groupBy(id_col, "gh").agg(F.count("*").alias("c")))
+    gram_agg = (per_gram.groupBy(id_col)
+                .agg(F.sum("c").alias("n_grams"),
+                     F.count("*").alias("n_distinct"),
+                     F.max("c").alias("max_c"))
+                .select(id_col, F.col("n_grams"),
+                        F.round((F.col("n_grams") - F.col("n_distinct")) /
+                                F.col("n_grams"), 6).alias("dup_ngram_fraction"),
+                        F.round(F.col("max_c") / F.col("n_grams"), 6)
+                        .alias("top_ngram_share")))
+    return word.join(gram_agg, id_col)

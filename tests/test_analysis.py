@@ -385,3 +385,26 @@ def test_semantic_dedup_cell_guard_and_determinism(spark, emb):
     b = semantic_dedup(small, tau=0.5, n_cells=4, seed=3).toPandas()
     assert a.sort_values("vec_id").reset_index(drop=True).equals(
         b.sort_values("vec_id").reset_index(drop=True))
+
+
+def test_repetition_stats_engine(spark):
+    """Gopher-style repetition signals: a boilerplate doc scores high
+    on all three fractions, a clean doc scores 0; engine semantics
+    match the gate's (duplicate fraction over non-distinct 2-grams)."""
+    from record_deduplication_spark.analysis.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "buy now buy now buy now buy now"),
+         (2, "all unique words in this sentence here"),
+         (3, "one"),        # < n tokens: omitted
+         (4, None)],        # null text: omitted
+        ["doc_id", "text"])
+    out = repetition_stats(df, n=2).toPandas().set_index("doc_id")
+    assert set(out.index) == {1, 2}
+    # doc 1: 8 tokens {buy,now}x4 -> dup_word 6/8; 7 2-grams, 2 distinct
+    assert out.loc[1, "dup_word_fraction"] == 0.75
+    assert out.loc[1, "n_grams"] == 7
+    assert out.loc[1, "dup_ngram_fraction"] == round(5 / 7, 6)
+    assert out.loc[1, "top_ngram_share"] == round(4 / 7, 6)
+    assert out.loc[2, "dup_word_fraction"] == 0.0
+    assert out.loc[2, "dup_ngram_fraction"] == 0.0
