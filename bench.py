@@ -37,6 +37,11 @@ HEADLINE = [
     "token_count_stats",
     "window_dedup_first_order",
     "events_hourly",
+    # added late round 3 (not in the r1/r2 totals — compare rounds on
+    # the shared prefix): the training-data extras
+    "ngram_decontamination",
+    "semantic_dedup_cells",
+    "repetition_stats",
 ]
 
 
@@ -121,7 +126,9 @@ def main() -> None:
     for rep in range(reps):
         for name in HEADLINE:
             t0 = time.time()
-            spark.sql(G.PAIRED_SQL[name][0]).collect()
+            # run_spark dispatches SQL-paired AND engine-fn gates
+            # (semantic_dedup_cells runs the applyInPandas kernel)
+            G.run_spark(spark, sf_dir, name).collect()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
