@@ -1163,6 +1163,61 @@ FROM wd w JOIN ga g ON w.doc_id = g.doc_id ORDER BY w.doc_id
 """
 _q("repetition_stats", _rep_spark, _rep_duck)
 
+# ---- training-data extra: deterministic hash-based corpus split ----
+# Engine analog: functions/columns.py hash_split (xxhash64 production
+# path, pytest-covered); the gate pins the SEMANTICS — split assignment
+# is a pure function of the id, stable across runs/partitionings —
+# with the md5 hash both engines share.
+_split_case = ("CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid' "
+               "ELSE 'test' END")
+_q("hash_split_assign",
+   f"""
+WITH h AS (
+  SELECT doc_id, {_H_SPARK.format(x="CAST(doc_id AS STRING)")} % 10 AS b
+  FROM documents
+)
+SELECT doc_id, CAST(b AS BIGINT) AS bucket, {_split_case} AS split
+FROM h ORDER BY doc_id
+""",
+   f"""
+WITH h AS (
+  SELECT doc_id, {_H_DUCK.format(x="CAST(doc_id AS VARCHAR)")} % 10 AS b
+  FROM documents
+)
+SELECT doc_id, CAST(b AS BIGINT) AS bucket, {_split_case} AS split
+FROM h ORDER BY doc_id
+""")
+
+# ---- window ops: gap-based event sessionization (30-min timeout) ----
+# Classic lag + cumulative-sum session builder over the events table;
+# microsecond-integer timestamps on both engines (unix_micros /
+# epoch_us) so no float time arithmetic enters the hash.
+_sess_spark, _sess_duck = [f"""
+WITH e AS (SELECT user_id, event_id, {us_fn} AS tus FROM events),
+m AS (
+  SELECT user_id, event_id, tus,
+         CASE WHEN lag(tus) OVER w IS NULL
+                OR tus - lag(tus) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+s AS (
+  SELECT user_id, tus,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM m
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       min(tus) AS start_us,
+       CAST(max(tus) - min(tus) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+""" for us_fn in ("unix_micros(CAST(ts AS TIMESTAMP))",  # parquet ts is NTZ;
+                  # session tz is UTC (same convention events_hourly relies on)
+                  "epoch_us(ts)")]
+_q("event_sessionization", _sess_spark, _sess_duck)
+
 
 # --------------------------------------------------------------------------
 # Engine-operator gates: Spark side is ENGINE DataFrame code (not SQL),

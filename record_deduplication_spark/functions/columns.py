@@ -80,3 +80,29 @@ def coerce_digit_id(col: str):
 
     digits = F.regexp_extract(F.col(col).cast("string"), "([0-9]+)", 1)
     return F.when(digits != "", digits.cast("long"))
+
+
+def hash_split(df, id_col: str, weights: dict[str, float] | None = None,
+               seed: int = 0, out_col: str = "split"):
+    """Deterministic train/valid/test assignment: a pure function of
+    the row id (xxhash64 bucket), so the split is stable across runs,
+    partitionings, and cluster sizes — the property that matters when
+    10^12 rows are re-sharded between pipeline versions. No shuffle,
+    no sampling state; one codegen projection.
+
+    Gate twin: `hash_split_assign` pins the semantics with the
+    md5-based hash DuckDB shares."""
+    from pyspark.sql import functions as F
+
+    weights = weights or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"hash_split weights must sum to 1: {weights}")
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+                    F.lit(1_000_000))
+    expr, lo = None, 0.0
+    for name, w in weights.items():
+        hi = lo + w
+        cond = bucket < F.lit(int(round(hi * 1_000_000)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn(out_col, expr)

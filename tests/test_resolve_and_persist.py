@@ -105,3 +105,31 @@ def test_checkpoint_rejects_remote_uri_without_iceberg(spark):
     from record_deduplication_spark.sources.checkpoint import CheckpointStore
     with pytest.raises(ValueError, match="Iceberg"):
         CheckpointStore(spark, "s3://bucket/work")
+
+
+def test_hash_split_deterministic_disjoint_proportional(spark):
+    """hash_split: stable across runs/partitionings, every row gets
+    exactly one split, proportions near the weights."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from record_deduplication_spark.functions.columns import hash_split
+
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, "doc_id").groupBy("split").count().toPandas()
+    got = dict(zip(a["split"], a["count"]))
+    assert set(got) == {"train", "valid", "test"}
+    assert abs(got["train"] / 20_000 - 0.8) < 0.02
+    assert abs(got["valid"] / 20_000 - 0.1) < 0.01
+    # repartitioning must not move any row between splits
+    b = hash_split(df.repartition(17), "doc_id")
+    joined = (hash_split(df, "doc_id").alias("x")
+              .join(b.alias("y"), "doc_id")
+              .where(F.col("x.split") != F.col("y.split")))
+    assert joined.count() == 0
+    # a different seed reshuffles assignments
+    c = hash_split(df, "doc_id", seed=1).withColumnRenamed("split", "s2")
+    moved = hash_split(df, "doc_id").join(c, "doc_id").where("split <> s2")
+    assert moved.count() > 0
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "doc_id", weights={"train": 0.5})
