@@ -215,3 +215,50 @@ def payload_stats(clips: DataFrame) -> DataFrame:
                  F.min("sr_hz").alias("min_sr"),
                  F.max("sr_hz").alias("max_sr"),
                  F.count_distinct(F.sha2("bytes", 256)).alias("distinct_payloads")))
+
+
+def preprocess_clips(clips: DataFrame, *, trim_db: float | None = -40.0,
+                     target_rms: float | None = 0.1,
+                     allow_fake: bool = False) -> DataFrame:
+    """Audio ETL pass: optional silence trim + loudness normalization,
+    re-encoded in place (same clips schema out, like resample_clips —
+    one mapInPandas task consumes and re-emits the payload, binary
+    never shuffles). All-silent clips come back with 0 samples /
+    dur_ms 0 rather than disappearing, so lineage row counts hold."""
+    out_schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ])
+
+    def _prep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("clip_id", "bytes", "sr_hz",
+                                    "dur_ms", "codec")}
+            for cid, codec, data, sr in zip(pdf["clip_id"], pdf["codec"],
+                                            pdf["bytes"], pdf["sr_hz"]):
+                b = bytes(data) if data is not None else b""
+                try:
+                    pcm, sr_in = decode_codec(codec, b)
+                    out_codec = codec
+                except NotImplementedError:
+                    if not allow_fake:
+                        raise
+                    pcm, sr_in = _fake_decode(b), int(sr)
+                    out_codec = "pcm_s16le"
+                if trim_db is not None:
+                    pcm = A.trim_silence(pcm, sr_in, threshold_db=trim_db)
+                if target_rms is not None:
+                    pcm = A.normalize_rms(pcm, target_rms=target_rms)
+                rows["clip_id"].append(cid)
+                rows["bytes"].append(A.encode_wav(pcm, sr_in))
+                rows["sr_hz"].append(int(sr_in))
+                rows["dur_ms"].append(int(round(1000.0 * pcm.size / sr_in))
+                                      if sr_in else 0)
+                rows["codec"].append(out_codec)
+            yield pd.DataFrame(rows)
+
+    return (clips.select("clip_id", "codec", "bytes", "sr_hz")
+            .mapInPandas(_prep, schema=out_schema))

@@ -188,3 +188,49 @@ def pcm_allclose_snr(pcm_a: np.ndarray, sr_a: int, pcm_b: np.ndarray, sr_b: int,
         pcm_b = resample_linear(pcm_b, sr_b, sr_a)
     s = max(snr_db(pcm_a, pcm_b), snr_db(pcm_b, pcm_a))
     return bool(s >= snr_min_db), float(s)
+
+
+def trim_silence(pcm: np.ndarray, sr_hz: int, threshold_db: float = -40.0,
+                 pad_ms: float = 10.0) -> np.ndarray:
+    """Strip leading/trailing silence: samples outside the first/last
+    10 ms window whose RMS exceeds `threshold_db` relative to FULL
+    SCALE (not the clip's own peak — a quiet clip should trim to
+    nothing rather than keep its noise floor). `pad_ms` of context is
+    kept on each side. Returns an empty array for an all-silent clip."""
+    if pcm.size == 0:
+        return pcm
+    win = max(1, int(sr_hz * 0.010))
+    n_win = pcm.size // win
+    thr = 10.0 ** (threshold_db / 20.0)
+    if n_win == 0:
+        return pcm if float(np.sqrt((pcm ** 2).mean())) > thr else pcm[:0]
+    rms = np.sqrt((pcm[: n_win * win].reshape(n_win, win) ** 2).mean(axis=1))
+    # the tail remainder (< one window) counts as its own window
+    tail = pcm[n_win * win:]
+    loud = rms > thr
+    tail_loud = tail.size > 0 and float(np.sqrt((tail ** 2).mean())) > thr
+    if not loud.any() and not tail_loud:
+        return pcm[:0]
+    first = int(np.argmax(loud)) if loud.any() else n_win
+    last_end = pcm.size if tail_loud else (
+        int(n_win - np.argmax(loud[::-1])) * win)
+    pad = int(sr_hz * pad_ms / 1000.0)
+    lo = max(0, first * win - pad)
+    hi = min(pcm.size, last_end + pad)
+    return pcm[lo:hi]
+
+
+def normalize_rms(pcm: np.ndarray, target_rms: float = 0.1,
+                  peak_ceiling: float = 0.99) -> np.ndarray:
+    """Scale to `target_rms` loudness, capped so the peak never clips
+    past `peak_ceiling`. Silence (rms 0) passes through unchanged."""
+    if pcm.size == 0:
+        return pcm
+    rms = float(np.sqrt((pcm ** 2).mean()))
+    if rms <= 0.0:
+        return pcm
+    gain = target_rms / rms
+    peak = float(np.abs(pcm).max())
+    if peak * gain > peak_ceiling:
+        gain = peak_ceiling / peak
+    return pcm * gain

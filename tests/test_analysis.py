@@ -408,3 +408,55 @@ def test_repetition_stats_engine(spark):
     assert out.loc[1, "top_ngram_share"] == round(4 / 7, 6)
     assert out.loc[2, "dup_word_fraction"] == 0.0
     assert out.loc[2, "dup_ngram_fraction"] == 0.0
+
+
+def test_trim_silence_and_normalize_kernels():
+    import numpy as np
+
+    from record_deduplication_spark.functions.audio import (
+        normalize_rms, trim_silence)
+
+    sr = 16000
+    tone = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)  # 1 s
+    sil = np.zeros(sr // 2)                                     # 0.5 s
+    clip = np.concatenate([sil, tone, sil])
+    out = trim_silence(clip, sr)
+    # trimmed to the tone +- the 10 ms pad
+    assert abs(out.size - tone.size) <= 2 * int(sr * 0.010) + sr // 100
+    assert np.abs(out).max() >= 0.49
+    assert trim_silence(np.zeros(sr), sr).size == 0
+    assert trim_silence(np.array([]), sr).size == 0
+    # tail shorter than one window still counts
+    tail = np.concatenate([np.zeros(sr), 0.5 * np.ones(77)])
+    assert trim_silence(tail, sr).size >= 77
+
+    n = normalize_rms(tone)
+    assert abs(float(np.sqrt((n ** 2).mean())) - 0.1) < 1e-6
+    # peak ceiling respected for spiky signals
+    spiky = np.zeros(sr); spiky[0] = 0.001
+    ns = normalize_rms(spiky, target_rms=0.5)
+    assert np.abs(ns).max() <= 0.99 + 1e-9
+    assert normalize_rms(np.zeros(4)).sum() == 0.0
+
+
+def test_preprocess_clips_spark(spark):
+    import numpy as np
+
+    from record_deduplication_spark.analysis.multimodal import preprocess_clips
+    from record_deduplication_spark.functions.audio import decode_wav, encode_wav
+
+    sr = 8000
+    tone = 0.25 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+    clip = np.concatenate([np.zeros(sr), tone, np.zeros(sr)])
+    rows = [("a", encode_wav(clip, sr), sr, 3000, "pcm_s16le"),
+            ("b", encode_wav(np.zeros(sr), sr), sr, 1000, "pcm_s16le")]
+    df = spark.createDataFrame(rows, ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"])
+    out = {r["clip_id"]: r for r in preprocess_clips(df).collect()}
+    assert set(out) == {"a", "b"}
+    pcm_a, sr_a = decode_wav(bytes(out["a"]["bytes"]))
+    assert sr_a == sr and abs(pcm_a.size - tone.size) <= 2 * 80 + 80
+    assert abs(float(np.sqrt((pcm_a ** 2).mean())) - 0.1) < 0.005
+    assert 900 <= out["a"]["dur_ms"] <= 1100
+    # all-silent clip survives with 0 samples (lineage counts hold)
+    pcm_b, _ = decode_wav(bytes(out["b"]["bytes"]))
+    assert pcm_b.size == 0 and out["b"]["dur_ms"] == 0
