@@ -87,3 +87,45 @@ def test_snr_decreases_with_noise(n, amp):
     # a prefix is never better than the full signal
     if n >= 10:
         assert snr_db(ref, ref[: n // 2]) <= s_noisy or amp == 0.0
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.floats(min_value=-1.0, max_value=1.0,
+                          allow_nan=False), min_size=0, max_size=400),
+       st.sampled_from([8000, 16000, 44100]))
+def test_trim_silence_is_contiguous_slice_and_idempotent_bound(vals, sr):
+    from record_deduplication_spark.functions.audio import trim_silence
+
+    pcm = np.asarray(vals)
+    out = trim_silence(pcm, sr)
+    # output is a contiguous slice of the input (never reordered/scaled)
+    assert out.size <= pcm.size
+    if out.size:
+        found = False
+        for lo in range(pcm.size - out.size + 1):
+            if np.array_equal(pcm[lo:lo + out.size], out):
+                found = True
+                break
+        assert found
+        # trimming again never removes more than another pad's worth:
+        # the kept region is loud by construction
+        assert trim_silence(out, sr).size > 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.floats(min_value=-1.0, max_value=1.0,
+                          allow_nan=False), min_size=1, max_size=300),
+       st.floats(min_value=0.01, max_value=0.5))
+def test_normalize_rms_bounds(vals, target):
+    from record_deduplication_spark.functions.audio import normalize_rms
+
+    pcm = np.asarray(vals)
+    out = normalize_rms(pcm, target_rms=target)
+    assert out.shape == pcm.shape
+    assert float(np.abs(out).max()) <= 0.99 + 1e-9
+    rms = float(np.sqrt((out ** 2).mean()))
+    # hits the target unless the peak ceiling bound, which implies
+    # rms strictly below target
+    assert rms <= target + 1e-9
+    if float(np.abs(out).max()) < 0.99 - 1e-9 and rms > 0:
+        assert abs(rms - target) < 1e-9
