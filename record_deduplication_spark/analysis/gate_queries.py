@@ -776,6 +776,40 @@ ORDER BY status, priority
 """
 _q("rollup_orders", _ru, _ru)
 
+# ---- cube: the full grouping-sets lattice (completes §2.9 alongside
+#      rollup; one pass, all four grouping combinations) ----
+_cu = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+_q("cube_orders", _cu, _cu)
+
+# ---- training-data extra: deterministic stratified sample ----
+# Per-class balanced subset: top-3 docs per (lang, source) stratum in
+# md5(doc_id) order — a pure function of the ids, so the sample is
+# reproducible across runs/partitionings (the property reservoir
+# sampling lacks). Pattern: rank-over-hash window, the distributed
+# shape that replaces driver-side df.sample groupwork at scale.
+_strat = f"""
+WITH r AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY {{h}} , doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3 ORDER BY lang, source, rk
+"""
+_q("stratified_sample",
+   _strat.format(h=_H_SPARK.format(x="CAST(doc_id AS STRING)")),
+   _strat.format(h=_H_DUCK.format(x="CAST(doc_id AS VARCHAR)")))
+
 # ---- B6: blocking reduction-ratio stats per source ----
 # reference: /root/reference/src/core/blocking_engine.py:188-202
 _b6 = """
