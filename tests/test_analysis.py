@@ -374,6 +374,8 @@ def test_semantic_dedup_drops_planted_duplicates(spark, emb):
     assert out.loc[:199, "kept"].all()
 
 
+@pytest.mark.filterwarnings("ignore::UserWarning")  # the expected guard
+# raise surfaces through pyspark's Arrow-fallback UserWarning first
 def test_semantic_dedup_cell_guard_and_determinism(spark, emb):
     from record_deduplication_spark.analysis.semdedup import semantic_dedup
 
