@@ -1876,6 +1876,55 @@ ORDER BY e.vec_id
 """)
 
 
+# ---- training-data extra: PII redaction (ENGINE fn under the gate) ----
+# PII is PLANTED from doc_id arithmetic (the raw corpus has none, which
+# would make a redaction gate vacuous): every doc gets one email, one
+# IPv4, and one phone built identically on both engines. The Spark side
+# runs analysis/textstats.pii_redact (codegen regexp_count + chained
+# regexp_replace); patterns are RE2-compatible so DuckDB executes the
+# very same regex strings.
+_PII_TEXT_SPARK = ("concat('reach user', CAST(doc_id AS STRING), "
+                   "'@example.com or 10.0.', CAST(doc_id % 200 AS STRING), "
+                   "'.42 tel +1 555 ', "
+                   "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' ', lang)")
+_PII_TEXT_DUCK = ("concat('reach user', CAST(doc_id AS VARCHAR), "
+                  "'@example.com or 10.0.', CAST(doc_id % 200 AS VARCHAR), "
+                  "'.42 tel +1 555 ', "
+                  "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' ', lang)")
+
+
+def _pii_redaction_spark(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .textstats import pii_redact
+
+    planted = spark.table("documents").selectExpr(
+        "doc_id", f"{_PII_TEXT_SPARK} AS text")
+    out = pii_redact(planted)
+    return (out.select("doc_id", "redacted",
+                       *[F.col(c).cast("bigint").alias(c)
+                         for c in ("n_emails", "n_ips", "n_phones")])
+            .orderBy("doc_id"))
+
+
+def _pii_duck_sql() -> str:
+    from .textstats import PII_PATTERNS
+    red = "text"
+    for k, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '<{k.upper()}>', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS n_{k}s"
+        for k, p in PII_PATTERNS.items())
+    return f"""
+WITH t AS (SELECT doc_id, {_PII_TEXT_DUCK} AS text FROM documents)
+SELECT doc_id, {red} AS redacted, {counts}
+FROM t ORDER BY doc_id
+"""
+
+
+_fq("pii_redaction", _pii_redaction_spark, _pii_duck_sql())
+
+
 # --------------------------------------------------------------------------
 # Runners
 # --------------------------------------------------------------------------

@@ -150,3 +150,29 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                         F.round(F.col("max_c") / F.col("n_grams"), 6)
                         .alias("top_ngram_share")))
     return word.join(gram_agg, id_col)
+
+
+# PII scrub patterns (kept RE2-compatible — no backreferences or
+# lookaround — so the DuckDB gate twin can run the identical regexes)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}(\.\d{1,3}){3}\b",
+    "phone": r"\+\d[\d ]{5,}\d",
+}
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone numbers from a text column —
+    the standard pre-training scrub. Pure codegen expressions
+    (regexp_count + chained regexp_replace), no UDF; emails are
+    replaced first so an address's host part is never half-eaten by
+    the IP pattern. Returns (id, redacted, n_emails, n_ips, n_phones).
+    """
+    c = F.col(text_col)
+    counts = [F.regexp_count(c, F.lit(p)).alias(f"n_{k}s")
+              for k, p in PII_PATTERNS.items()]
+    red = c
+    for k, p in PII_PATTERNS.items():
+        red = F.regexp_replace(red, p, f"<{k.upper()}>")
+    return df.select(F.col(id_col), red.alias("redacted"), *counts)

@@ -462,3 +462,21 @@ def test_preprocess_clips_spark(spark):
     # all-silent clip survives with 0 samples (lineage counts hold)
     pcm_b, _ = decode_wav(bytes(out["b"]["bytes"]))
     assert pcm_b.size == 0 and out["b"]["dur_ms"] == 0
+
+
+def test_pii_redact(spark):
+    from record_deduplication_spark.analysis.textstats import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.co.uk or 10.0.0.1 tel +44 20 7946 0958 bye"),
+         (2, "no pii here"),
+         (3, "two mails p@q.io r@s.de and 256.1.1.1")],
+        ["doc_id", "text"])
+    out = pii_redact(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "redacted"] == "mail <EMAIL> or <IP> tel <PHONE> bye"
+    assert (out.loc[1, ["n_emails", "n_ips", "n_phones"]] == 1).all()
+    assert out.loc[2, "redacted"] == "no pii here"
+    assert (out.loc[2, ["n_emails", "n_ips", "n_phones"]] == 0).all()
+    # the IP pattern is a format check, not a range check (like most
+    # scrubbers, over-redaction is the safe direction)
+    assert out.loc[3, "n_emails"] == 2 and out.loc[3, "n_ips"] == 1
