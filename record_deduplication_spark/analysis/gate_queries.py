@@ -1925,6 +1925,54 @@ FROM t ORDER BY doc_id
 _fq("pii_redaction", _pii_redaction_spark, _pii_duck_sql())
 
 
+# ---- cluster-agreement metrics (ENGINE op under the gate) ----
+# operators/stats.cluster_agreement: pair-level precision/recall/F1 of
+# one assignment against another WITHOUT materializing co-membership
+# pairs (the contingency-count identity — sums of C(n,2) over per-side
+# and joint group sizes). Fixtures are doc_id arithmetic: ref groups of
+# 5 consecutive ids (noise every 17th), test groups shifted by one
+# (noise every 13th) — boundaries disagree, so precision/recall land
+# strictly inside (0, 1).
+def _cluster_agreement_spark(spark: SparkSession) -> DataFrame:
+    from ..operators.stats import cluster_agreement
+
+    docs = spark.table("documents")
+    ref = docs.selectExpr(
+        "CAST(doc_id AS STRING) AS clip_id",
+        "CASE WHEN doc_id % 17 = 0 THEN -1 "
+        "ELSE CAST(floor(doc_id / 5) AS BIGINT) END AS cluster_id")
+    test = docs.selectExpr(
+        "CAST(doc_id AS STRING) AS clip_id",
+        "CASE WHEN doc_id % 13 = 0 THEN -1 "
+        "ELSE CAST(floor((doc_id + 1) / 5) AS BIGINT) END AS cluster_id")
+    return cluster_agreement(ref, test)
+
+
+_fq("cluster_agreement_metrics", _cluster_agreement_spark, """
+WITH a AS (SELECT doc_id, CAST(floor(doc_id / 5) AS BIGINT) AS c
+           FROM documents WHERE doc_id % 17 <> 0),
+b AS (SELECT doc_id, CAST(floor((doc_id + 1) / 5) AS BIGINT) AS c
+      FROM documents WHERE doc_id % 13 <> 0),
+pa AS (SELECT CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT) AS n_pairs_ref
+       FROM (SELECT count(*) AS n FROM a GROUP BY c)),
+pb AS (SELECT CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT) AS n_pairs_test
+       FROM (SELECT count(*) AS n FROM b GROUP BY c)),
+pj AS (SELECT CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT) AS n_pairs_both
+       FROM (SELECT count(*) AS n
+             FROM a JOIN b USING (doc_id) GROUP BY a.c, b.c)),
+m AS (
+  SELECT n_pairs_ref, n_pairs_test, n_pairs_both,
+         round(n_pairs_both / greatest(n_pairs_test, 1), 6) AS precision,
+         round(n_pairs_both / greatest(n_pairs_ref, 1), 6) AS recall
+  FROM pa CROSS JOIN pb CROSS JOIN pj
+)
+SELECT n_pairs_ref, n_pairs_test, n_pairs_both, precision, recall,
+       round(2 * precision * recall /
+             greatest(precision + recall, 1e-12), 6) AS f1
+FROM m
+""")
+
+
 # --------------------------------------------------------------------------
 # Runners
 # --------------------------------------------------------------------------

@@ -275,3 +275,54 @@ def yeo_johnson(df: DataFrame, cols: list[str], standardize: bool = True,
                / (float(stats[f"{c}__sd"] or 1.0) or 1.0)).alias(c)
               for c in cols])
     return out, lams
+
+
+def cluster_agreement(ref: DataFrame, test: DataFrame,
+                      id_col: str = "clip_id",
+                      cluster_col: str = "cluster_id") -> DataFrame:
+    """Pair-level agreement between two cluster assignments — drift
+    monitoring between pipeline versions / daily runs, and the
+    distributed form of oracle.pair_recall.
+
+    Never materializes co-membership pairs (quadratic in cluster
+    size). The pair-counting contingency identity reduces everything
+    to counts: pairs(X) = sum_c C(n_c, 2) from X's own group sizes,
+    and pairs(ref AND test) = sum over the JOINT contingency table
+    (one id-join + one groupBy) — O(n) rows shuffled total, hot
+    clusters are just bigger counts, never bigger joins. Noise
+    (cluster_id < 0 or NULL) contributes no pairs on its side.
+
+    Returns one row: (n_pairs_ref, n_pairs_test, n_pairs_both,
+    precision, recall, f1) where precision/recall grade `test`
+    against `ref`.
+    """
+    c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("bigint")  # noqa: E731
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return (df.where(F.col(cluster_col).isNotNull() &
+                         (F.col(cluster_col) >= 0))
+                .select(F.col(id_col).alias("_id"),
+                        F.col(cluster_col).alias(f"c_{tag}")))
+
+    a, b = side(ref, "ref"), side(test, "test")
+
+    def n_pairs(df: DataFrame, cols: list) -> DataFrame:
+        return (df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.coalesce(F.sum(c2("n")), F.lit(0)).alias("p")))
+
+    pa = n_pairs(a, ["c_ref"]).withColumnRenamed("p", "n_pairs_ref")
+    pb = n_pairs(b, ["c_test"]).withColumnRenamed("p", "n_pairs_test")
+    pj = (n_pairs(a.join(b, "_id"), ["c_ref", "c_test"])
+          .withColumnRenamed("p", "n_pairs_both"))
+    return (pa.crossJoin(pb).crossJoin(pj)
+            .select("n_pairs_ref", "n_pairs_test", "n_pairs_both",
+                    F.round(F.col("n_pairs_both") /
+                            F.greatest("n_pairs_test", F.lit(1)), 6)
+                    .alias("precision"),
+                    F.round(F.col("n_pairs_both") /
+                            F.greatest("n_pairs_ref", F.lit(1)), 6)
+                    .alias("recall"))
+            .withColumn("f1", F.round(
+                2 * F.col("precision") * F.col("recall") /
+                F.greatest(F.col("precision") + F.col("recall"),
+                           F.lit(1e-12)), 6)))

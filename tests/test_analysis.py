@@ -480,3 +480,33 @@ def test_pii_redact(spark):
     # the IP pattern is a format check, not a range check (like most
     # scrubbers, over-redaction is the safe direction)
     assert out.loc[3, "n_emails"] == 2 and out.loc[3, "n_ips"] == 1
+
+
+def test_cluster_agreement_matches_oracle_pair_recall(spark):
+    """The distributed contingency-count identity must reproduce the
+    python oracle's pair_recall on a real dedup run, plus exact values
+    on a hand-computable fixture."""
+    import pandas as pd
+
+    from record_deduplication_spark.operators.stats import cluster_agreement
+
+    # hand fixture: ref {a,b,c}{d,e}, test {a,b}{c,x}{d,e} + noise y
+    ref = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0), ("d", 1), ("e", 1), ("y", -1)],
+        "clip_id string, cluster_id long")
+    test = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 6), ("x", 6), ("d", 7), ("e", 7), ("y", -1)],
+        "clip_id string, cluster_id long")
+    m = cluster_agreement(ref, test).collect()[0]
+    # ref pairs: C(3,2)+C(2,2)=4; test pairs: 1+1+1=3; both: ab, de = 2
+    assert (m.n_pairs_ref, m.n_pairs_test, m.n_pairs_both) == (4, 3, 2)
+    assert m.precision == round(2 / 3, 6) and m.recall == 0.5
+    # vs the python oracle on a real corpus
+    from record_deduplication_spark.datagen import generate_clips
+    from record_deduplication_spark.oracle import oracle_dedup, pair_recall
+    clips, truth = generate_clips(n_clips=300, seed=11)
+    res = oracle_dedup(clips)["clusters"]
+    expected = pair_recall(res, truth)
+    got = cluster_agreement(
+        spark.createDataFrame(truth), spark.createDataFrame(res)).collect()[0]
+    assert abs(got.recall - expected) < 1e-6
