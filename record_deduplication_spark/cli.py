@@ -111,7 +111,34 @@ def build_parser() -> argparse.ArgumentParser:
                          "probabilities, highlighted manual_review sheet)")
     ap.add_argument("--make-pyfiles", metavar="DEST.zip",
                     help="just build the --py-files zip and exit")
+    ap.add_argument("--decontaminate-eval", default=None, metavar="PATH",
+                    help="decontamination-only mode: report/remove eval rows "
+                         "sharing any word n-gram with the --input corpus "
+                         "(transcript/text column auto-detected); no "
+                         "--workdir needed")
+    ap.add_argument("--decontaminate-out", default=None, metavar="PATH",
+                    help="with --decontaminate-eval: also write the cleaned "
+                         "eval table (rows under --decontaminate-max-ratio) "
+                         "as parquet here")
+    ap.add_argument("--decontaminate-ngram", type=int, default=8,
+                    help="n-gram width for the overlap scan (default 8)")
+    ap.add_argument("--decontaminate-max-ratio", type=float, default=0.0,
+                    help="contaminated-gram fraction above which an eval row "
+                         "is dropped (default 0.0 = any shared n-gram)")
     return ap
+
+
+def _text_cols(df) -> tuple[str, str]:
+    """(id_col, text_col) for decontamination: the clips schema uses
+    (clip_id, transcript), the documents shape (doc_id, text)."""
+    cols = set(df.columns)
+    for idc, txt in (("clip_id", "transcript"), ("doc_id", "text"),
+                     ("id", "text")):
+        if {idc, txt} <= cols:
+            return idc, txt
+    raise SystemExit(
+        f"--decontaminate-eval: no (id, text) column pair found in "
+        f"{sorted(cols)}; expected clip_id/transcript or doc_id/text")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -119,7 +146,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.make_pyfiles:
         print(make_pyfiles_zip(args.make_pyfiles))
         return 0
-    if not args.input or not args.workdir:
+    if args.decontaminate_eval:
+        if not args.input:
+            raise SystemExit("--decontaminate-eval needs --input (the train corpus)")
+    elif not args.input or not args.workdir:
         raise SystemExit("--input and --workdir are required (or --make-pyfiles)")
 
     from pyspark.sql import SparkSession
@@ -143,6 +173,38 @@ def main(argv: list[str] | None = None) -> int:
         return load_table(spark, name)
 
     clips = _load(args.input)
+    if args.decontaminate_eval:
+        from pyspark.sql import functions as F
+
+        from .analysis.decontaminate import contamination_report, decontaminate
+
+        ev = _load(args.decontaminate_eval)
+        idc, txt = _text_cols(ev)
+        n = args.decontaminate_ngram
+        rep = contamination_report(clips, ev, id_col=idc, text_col=txt, n=n)
+        agg = rep.agg(
+            F.count("*").alias("n_eval_with_grams"),
+            F.sum((F.col("contamination_ratio") >
+                   args.decontaminate_max_ratio).cast("int")).alias("n_flagged"),
+            F.round(F.avg("contamination_ratio"), 6).alias("mean_ratio")
+        ).collect()[0]
+        stats = {"mode": "decontaminate", "ngram": n,
+                 "max_ratio": args.decontaminate_max_ratio,
+                 "n_eval_rows": ev.count(), **agg.asDict()}
+        if args.decontaminate_out:
+            clean = decontaminate(clips, ev, id_col=idc, text_col=txt, n=n,
+                                  max_ratio=args.decontaminate_max_ratio)
+            clean.write.mode("overwrite").parquet(args.decontaminate_out)
+            stats["n_kept"] = spark.read.parquet(args.decontaminate_out).count()
+            stats["out"] = args.decontaminate_out
+        line = json.dumps(stats)
+        print(line)
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                f.write(line + "\n")
+        if active is None:
+            spark.stop()
+        return 0
     pipe = DedupPipeline(spark, args.workdir, cfg)
     if args.incremental_input:
         res = pipe.run_incremental(_load(args.incremental_input),

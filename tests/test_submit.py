@@ -116,3 +116,38 @@ def test_cli_incremental_mode(tmp_path, spark):
     b = pd.read_parquet(f"{wd_inc}/clusters").sort_values("clip_id") \
           .reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_cli_decontaminate_mode(tmp_path, spark):
+    """--decontaminate-eval: reports overlap of an eval set's
+    transcripts against the corpus and writes the cleaned table."""
+    import json
+
+    from record_deduplication_spark.cli import main
+    from record_deduplication_spark.datagen import generate_clips
+
+    clips_pdf, _ = generate_clips(n_clips=120, seed=9)
+    corpus = spark.createDataFrame(clips_pdf)
+    trainp = str(tmp_path / "train.parquet")
+    corpus.write.parquet(trainp)
+    # eval: 3 rows copied verbatim from the corpus (leaked) + 2 novel
+    leaked = clips_pdf.head(3)[["clip_id", "transcript"]].copy()
+    leaked["clip_id"] = ["ev0", "ev1", "ev2"]
+    novel = [("ev3", "zq wv xk pj unique eval only words here truly novel"),
+             ("ev4", "another fully novel eval row with no corpus overlap")]
+    ev = spark.createDataFrame(
+        list(leaked.itertuples(index=False, name=None)) + novel,
+        ["clip_id", "transcript"])
+    evalp = str(tmp_path / "eval.parquet")
+    ev.write.parquet(evalp)
+
+    outp = str(tmp_path / "clean.parquet")
+    jsonp = str(tmp_path / "decon.json")
+    assert main(["--input", trainp, "--decontaminate-eval", evalp,
+                 "--decontaminate-ngram", "4",
+                 "--decontaminate-out", outp, "--json-out", jsonp]) == 0
+    stats = json.loads(open(jsonp).read())
+    assert stats["mode"] == "decontaminate"
+    assert stats["n_eval_rows"] == 5 and stats["n_flagged"] == 3
+    kept = spark.read.parquet(outp)
+    assert sorted(r.clip_id for r in kept.collect()) == ["ev3", "ev4"]
