@@ -1559,6 +1559,36 @@ FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type
 """)
 
 
+def _events_sliding_twin(spark: SparkSession) -> DataFrame:
+    """Sliding/hopping variant of the stream twin: 1-hour windows every
+    30 minutes, so each event lands in exactly TWO windows. The DuckDB
+    twin replays the assignment with epoch arithmetic (window starts
+    align to the 1970 epoch, same as Spark's F.window)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.dedup_stream import windowed_event_counts
+
+    ev = spark.table("events")
+    return (windowed_event_counts(ev, ts_col="ts", window="1 hour",
+                                  slide="30 minutes")
+            .select(F.unix_timestamp("win_start").cast("bigint")
+                    .alias("win_epoch"),
+                    "event_type", "n_events", "total_value")
+            .orderBy("win_epoch", "event_type"))
+
+
+_fq("events_sliding_twin", _events_sliding_twin, """
+WITH w AS (
+  SELECT CAST(floor(epoch(ts) / 1800) * 1800 - i * 1800 AS BIGINT) AS win_epoch,
+         event_type, value
+  FROM events, unnest([0, 1]) AS t(i)
+)
+SELECT win_epoch, event_type, count(*) AS n_events,
+       round(sum(value), 3) AS total_value
+FROM w GROUP BY win_epoch, event_type ORDER BY win_epoch, event_type
+""")
+
+
 def _map_distinct_spark(spark: SparkSession) -> DataFrame:
     """P9 engine op (operators/stats.map_distinct): apply a driver-side
     function once per DISTINCT value of a column, broadcast the mapping

@@ -50,8 +50,10 @@ def exact_dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> Data
 
 def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
                           window: str = "1 hour",
-                          watermark: str | None = None) -> DataFrame:
-    """Tumbling-window event counters over EVENT TIME.
+                          watermark: str | None = None,
+                          slide: str | None = None) -> DataFrame:
+    """Tumbling (or, with `slide`, sliding/hopping) event counters
+    over EVENT TIME.
 
     The same function serves two surfaces:
     - streaming: with `watermark`, state is bounded and append-mode
@@ -59,13 +61,16 @@ def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
       events later than the horizon are dropped (late-data contract,
       tested in tests/test_streaming.py);
     - batch: identical plan minus the watermark — this is the
-      `events_windowed_stream_twin` DuckDB-gated query, so the
-      streaming aggregation logic sits under the hash gate too.
+      `events_windowed_stream_twin` / `events_sliding_twin` DuckDB-
+      gated query pair, so the streaming aggregation logic sits under
+      the hash gate too.
     """
     df = events
     if watermark is not None and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
-    return (df.groupBy(F.window(ts_col, window).alias("win"), "event_type")
+    win = (F.window(ts_col, window, slide) if slide
+           else F.window(ts_col, window))
+    return (df.groupBy(win.alias("win"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 3).alias("total_value"))
             .select(F.col("win.start").alias("win_start"),

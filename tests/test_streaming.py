@@ -168,3 +168,29 @@ def test_popcount_lut_equivalence():
         f = int(fp) & (2**64 - 1)
         d_ref = [bin(f ^ int(s)).count("1") for s in seen.tolist()]
         assert d_vec.tolist() == d_ref
+
+
+def test_native_session_window_agrees_with_manual_sessionization(spark):
+    """Spark's native session_window(ts, gap) must produce the same
+    (user, n_events, session_start) sets as the manual lag +
+    cumulative-sum builder that the event_sessionization gate hash-
+    checks against DuckDB — tying the streaming-native operator to the
+    SQL-oracle-verified semantics."""
+    from pyspark.sql import functions as F
+
+    from record_deduplication_spark.analysis import gate_queries as G
+
+    sf = "/root/testdata/sf0.001"
+    G.register_views(spark, sf)
+    manual = (spark.sql(G.PAIRED_SQL["event_sessionization"][0])
+              .select("user_id", "n_events", "start_us").toPandas())
+    ev = spark.table("events")
+    native = (ev.groupBy(F.session_window(F.col("ts").cast("timestamp"),
+                                          "30 minutes").alias("w"), "user_id")
+              .agg(F.count(F.lit(1)).alias("n_events"))
+              .select("user_id", "n_events",
+                      F.unix_micros("w.start").alias("start_us"))
+              .toPandas())
+    key = lambda d: sorted(map(tuple, d[["user_id", "n_events",  # noqa: E731
+                                         "start_us"]].to_numpy()))
+    assert key(manual) == key(native)
