@@ -194,3 +194,48 @@ def test_native_session_window_agrees_with_manual_sessionization(spark):
     key = lambda d: sorted(map(tuple, d[["user_id", "n_events",  # noqa: E731
                                          "start_us"]].to_numpy()))
     assert key(manual) == key(native)
+
+
+def test_streaming_sliding_window_append(spark, tmpdir_session):
+    """Sliding windows under a watermark in true streaming append mode:
+    one event lands in BOTH of its 10-min/5-min-hop windows, each
+    emitted exactly once when the watermark passes its end."""
+    from datetime import datetime
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from record_deduplication_spark.streaming.dedup_stream import (
+        windowed_event_counts)
+
+    base = os.path.join(tmpdir_session, "stream_slide")
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    os.makedirs(in_dir, exist_ok=True)
+
+    def ts(minute, second=0):
+        return datetime(2026, 1, 1, 12, minute, second)
+
+    a = pd.DataFrame({"ts": [ts(7)], "event_type": ["a"], "value": [2.0]})
+    push = pd.DataFrame({"ts": [ts(59)], "event_type": ["push"], "value": [0.0]})
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("event_type", T.StringType()),
+                           T.StructField("value", T.DoubleType())])
+    for i, pdf in enumerate((a, push)):
+        pdf.to_parquet(os.path.join(in_dir, f"f{i}.parquet"), index=False,
+                       coerce_timestamps="us", allow_truncated_timestamps=True)
+        q = (windowed_event_counts(
+                spark.readStream.schema(schema).parquet(in_dir),
+                ts_col="ts", window="10 minutes", watermark="5 minutes",
+                slide="5 minutes")
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    out = (spark.read.parquet(out_dir)
+           .where("event_type = 'a'").toPandas())
+    starts = sorted(r.minute for r in out["win_start"])
+    # 12:07 belongs to [12:00,12:10) and [12:05,12:15): both finalized
+    assert starts == [0, 5], starts
+    assert (out["n_events"] == 1).all() and (out["total_value"] == 2.0).all()
+    shutil.rmtree(base, ignore_errors=True)
