@@ -126,9 +126,15 @@ def main() -> None:
     for rep in range(reps):
         for name in HEADLINE:
             t0 = time.time()
-            # run_spark dispatches SQL-paired AND engine-fn gates
-            # (semantic_dedup_cells runs the applyInPandas kernel)
-            G.run_spark(spark, sf_dir, name).collect()
+            # dispatch SQL-paired AND engine-fn gates directly —
+            # NOT via G.run_spark, whose unconditional register_views
+            # (10 parquet footer reads) would land inside every timed
+            # measurement and skew cross-round comparisons (views were
+            # registered once above)
+            if name in G.PAIRED_FN:
+                G.PAIRED_FN[name][0](spark).collect()
+            else:
+                spark.sql(G.PAIRED_SQL[name][0]).collect()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 

@@ -89,8 +89,11 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     it is broadcast for the anti-join so the eval table itself is
     never shuffled.
     """
+    # compare on exact integers, NOT the report's display-rounded
+    # ratio: a ~2M-gram document sharing one gram rounds to 0.000000,
+    # which would silently survive strict mode (max_ratio=0.0)
     bad = (contamination_report(train, eval_df, id_col, text_col, n)
-           .where(F.col("contamination_ratio") > max_ratio)
+           .where(F.col("n_contaminated") > max_ratio * F.col("n_grams"))
            .select(id_col))
     if broadcast_eval:
         bad = F.broadcast(bad)

@@ -176,24 +176,37 @@ def main(argv: list[str] | None = None) -> int:
     if args.decontaminate_eval:
         from pyspark.sql import functions as F
 
-        from .analysis.decontaminate import contamination_report, decontaminate
+        from .analysis.decontaminate import contamination_report
 
         ev = _load(args.decontaminate_eval)
+        # columns resolve PER TABLE: a clips train corpus
+        # (clip_id/transcript) against a documents-shaped eval
+        # (doc_id/text) is the normal mixed case — align the train
+        # side to the eval names (the train id is never emitted)
         idc, txt = _text_cols(ev)
+        idc_t, txt_t = _text_cols(clips)
+        train = clips.select(F.col(idc_t).alias(idc),
+                             F.col(txt_t).alias(txt))
         n = args.decontaminate_ngram
-        rep = contamination_report(clips, ev, id_col=idc, text_col=txt, n=n)
+        mr = args.decontaminate_max_ratio
+        # one row per eval doc — pin it so the stats agg and the
+        # cleaned-output anti-join don't each recompute the train
+        # n-gram profile (the heavy side)
+        rep = contamination_report(train, ev, id_col=idc, text_col=txt,
+                                   n=n).localCheckpoint(eager=True)
+        flagged_cond = F.col("n_contaminated") > mr * F.col("n_grams")
         agg = rep.agg(
             F.count("*").alias("n_eval_with_grams"),
-            F.sum((F.col("contamination_ratio") >
-                   args.decontaminate_max_ratio).cast("int")).alias("n_flagged"),
-            F.round(F.avg("contamination_ratio"), 6).alias("mean_ratio")
+            F.coalesce(F.sum(flagged_cond.cast("int")), F.lit(0))
+            .alias("n_flagged"),
+            F.coalesce(F.round(F.avg("contamination_ratio"), 6), F.lit(0.0))
+            .alias("mean_ratio")
         ).collect()[0]
-        stats = {"mode": "decontaminate", "ngram": n,
-                 "max_ratio": args.decontaminate_max_ratio,
+        stats = {"mode": "decontaminate", "ngram": n, "max_ratio": mr,
                  "n_eval_rows": ev.count(), **agg.asDict()}
         if args.decontaminate_out:
-            clean = decontaminate(clips, ev, id_col=idc, text_col=txt, n=n,
-                                  max_ratio=args.decontaminate_max_ratio)
+            bad = F.broadcast(rep.where(flagged_cond).select(idc))
+            clean = ev.join(bad, idc, "left_anti")
             clean.write.mode("overwrite").parquet(args.decontaminate_out)
             stats["n_kept"] = spark.read.parquet(args.decontaminate_out).count()
             stats["out"] = args.decontaminate_out

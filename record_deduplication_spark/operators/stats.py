@@ -296,7 +296,12 @@ def cluster_agreement(ref: DataFrame, test: DataFrame,
     precision, recall, f1) where precision/recall grade `test`
     against `ref`.
     """
-    c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("bigint")  # noqa: E731
+    # exact integer C(n,2): decimal(38,0) internally — long*long
+    # overflows at n > ~3.04e9 members and `/ 2` through double loses
+    # low bits past n ≈ 9.5e7; sums stay exact to 38 digits and the
+    # final bigint cast is exact up to 9.2e18 total pairs
+    c2 = lambda c: (F.col(c).cast("decimal(38,0)") *  # noqa: E731
+                    (F.col(c).cast("decimal(38,0)") - 1) / 2)
 
     def side(df: DataFrame, tag: str) -> DataFrame:
         return (df.where(F.col(cluster_col).isNotNull() &
@@ -308,7 +313,8 @@ def cluster_agreement(ref: DataFrame, test: DataFrame,
 
     def n_pairs(df: DataFrame, cols: list) -> DataFrame:
         return (df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
-                .agg(F.coalesce(F.sum(c2("n")), F.lit(0)).alias("p")))
+                .agg(F.coalesce(F.sum(c2("n")), F.lit(0))
+                     .cast("bigint").alias("p")))
 
     pa = n_pairs(a, ["c_ref"]).withColumnRenamed("p", "n_pairs_ref")
     pb = n_pairs(b, ["c_test"]).withColumnRenamed("p", "n_pairs_test")

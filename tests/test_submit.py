@@ -151,3 +151,29 @@ def test_cli_decontaminate_mode(tmp_path, spark):
     assert stats["n_eval_rows"] == 5 and stats["n_flagged"] == 3
     kept = spark.read.parquet(outp)
     assert sorted(r.clip_id for r in kept.collect()) == ["ev3", "ev4"]
+
+
+def test_cli_decontaminate_mixed_schemas(tmp_path, spark):
+    """The train corpus (clip_id/transcript) and eval table
+    (doc_id/text) resolve their column pairs INDEPENDENTLY (the
+    review-found crash: eval's names were applied to the train side)."""
+    import json
+
+    from record_deduplication_spark.cli import main
+    from record_deduplication_spark.datagen import generate_clips
+
+    clips_pdf, _ = generate_clips(n_clips=80, seed=21)
+    trainp = str(tmp_path / "train2.parquet")
+    spark.createDataFrame(clips_pdf).write.parquet(trainp)
+    leaked_text = clips_pdf["transcript"].iloc[0]
+    ev = spark.createDataFrame(
+        [(0, leaked_text),
+         (1, "entirely novel doc text with zero overlap anywhere truly")],
+        ["doc_id", "text"])
+    evalp = str(tmp_path / "eval2.parquet")
+    ev.write.parquet(evalp)
+    jsonp = str(tmp_path / "decon2.json")
+    assert main(["--input", trainp, "--decontaminate-eval", evalp,
+                 "--decontaminate-ngram", "4", "--json-out", jsonp]) == 0
+    stats = json.loads(open(jsonp).read())
+    assert stats["n_flagged"] == 1 and stats["n_eval_rows"] == 2
