@@ -69,3 +69,27 @@ def test_profile_is_distinct_per_doc(spark):
     prof = ngram_hash_profile(df, n=2).toPandas()
     # grams 'a b' and 'b a' repeat; profile must stay distinct
     assert len(prof) == 2
+
+
+def test_contamination_report_plan_shape(spark):
+    """Pin the scale claims from the module docstring to the physical
+    plan: both parquet scans are column-pruned to (doc_id, text) with
+    IsNotNull pushed, gram hashing happens BEFORE any exchange, and
+    every exchange key is the 8-byte hash or the doc id — never text."""
+    from record_deduplication_spark.analysis.decontaminate import (
+        contamination_report)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = contamination_report(docs.where("doc_id % 10 <> 0"),
+                               docs.where("doc_id % 10 = 0"), n=5)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 2
+    for s in scans:
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in s, s
+        assert "IsNotNull(text)" in s, s
+    # no exchange partitions by text; only hash/id keys appear
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "text" not in l, l
+            assert ("gram_hash" in l) or ("doc_id" in l), l
