@@ -74,7 +74,8 @@ def semantic_dedup(corpus: DataFrame, *, id_col: str = "vec_id",
     precomputed / deterministic cells (the gate uses `label`).
     Downstream: `corpus.join(out.where("kept"), id_col, "left_semi")`.
     """
-    base = corpus.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+    has_vec = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    base = corpus.where(has_vec)
     if cell_col is not None:
         cells = base.withColumn("cell", F.col(cell_col).cast("bigint"))
     else:
@@ -86,7 +87,15 @@ def semantic_dedup(corpus: DataFrame, *, id_col: str = "vec_id",
                                 .cast("bigint"))
     schema = StructType(
         [cells.schema[id_col], cells.schema["cell"]]).add("kept", "boolean")
-    return (cells.select(id_col, vec_col, "cell")
-            .groupBy("cell")
-            .applyInPandas(_cell_dedup_kernel(id_col, vec_col, tau,
-                                              max_cell_rows), schema))
+    out = (cells.select(id_col, vec_col, "cell")
+           .groupBy("cell")
+           .applyInPandas(_cell_dedup_kernel(id_col, vec_col, tau,
+                                             max_cell_rows), schema))
+    # rows WITHOUT a usable embedding cannot be semantic duplicates —
+    # emit them as explicit keep verdicts (cell -1) instead of silently
+    # dropping them, so the documented `kept` left-semi never deletes
+    # corpus rows that were merely missing a vector
+    no_vec = (corpus.where(~F.coalesce(has_vec, F.lit(False)))
+              .select(id_col, F.lit(-1).cast("bigint").alias("cell"),
+                      F.lit(True).alias("kept")))
+    return out.unionByName(no_vec)

@@ -510,3 +510,24 @@ def test_cluster_agreement_matches_oracle_pair_recall(spark):
     got = cluster_agreement(
         spark.createDataFrame(truth), spark.createDataFrame(res)).collect()[0]
     assert abs(got.recall - expected) < 1e-6
+
+
+def test_semantic_dedup_preserves_vectorless_rows(spark, emb):
+    """Rows with null/empty embeddings get explicit kept=True verdicts
+    (cell -1) — the documented kept-semi-join must never silently
+    delete corpus rows that merely lack a vector."""
+    from pyspark.sql import types as T
+
+    from record_deduplication_spark.analysis.semdedup import semantic_dedup
+
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [])],
+        T.StructType([T.StructField("vec_id", T.LongType()),
+                      T.StructField("embedding",
+                                    T.ArrayType(T.FloatType()))]))
+    corpus = (emb.select("vec_id", "embedding").where("vec_id < 50")
+              .unionByName(bad))
+    out = semantic_dedup(corpus, tau=0.9999, n_cells=4, seed=5).toPandas()
+    assert len(out) == 52
+    vl = out.set_index("vec_id").loc[[9001, 9002]]
+    assert vl["kept"].all() and (vl["cell"] == -1).all()
