@@ -1197,6 +1197,42 @@ FROM wd w JOIN ga g ON w.doc_id = g.doc_id ORDER BY w.doc_id
 """
 _q("repetition_stats", _rep_spark, _rep_duck)
 
+# ---- training-data extra: token document frequency + IDF ----
+# Stopword discovery / TF-IDF weighting primitive: distinct
+# (doc, token) explode -> per-token document counts -> smoothed IDF
+# (ln((N+1)/(df+1)) + 1, the sklearn convention), for tokens in >= 5
+# docs. ln() is IEEE-identical on both engines; round 6 keeps the
+# hash stable.
+_df_spark = """
+WITH n AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+tok AS (
+  SELECT DISTINCT doc_id, t AS token
+  FROM (SELECT doc_id, explode(split(text, ' ')) AS t
+        FROM documents WHERE text IS NOT NULL)
+  WHERE t <> ''
+),
+df AS (SELECT token, count(*) AS doc_freq FROM tok GROUP BY token)
+SELECT token, doc_freq,
+       round(ln((n.n_docs + 1) / (doc_freq + 1.0)) + 1, 6) AS idf
+FROM df CROSS JOIN n
+WHERE doc_freq >= 5 ORDER BY doc_freq DESC, token
+"""
+_df_duck = """
+WITH n AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+tok AS (
+  SELECT DISTINCT doc_id, t AS token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE text IS NOT NULL)
+  WHERE t <> ''
+),
+df AS (SELECT token, count(*) AS doc_freq FROM tok GROUP BY token)
+SELECT token, doc_freq,
+       round(ln((n.n_docs + 1) / (doc_freq + 1.0)) + 1, 6) AS idf
+FROM df CROSS JOIN n
+WHERE doc_freq >= 5 ORDER BY doc_freq DESC, token
+"""
+_q("token_doc_frequency", _df_spark, _df_duck)
+
 # ---- training-data extra: deterministic hash-based corpus split ----
 # Engine analog: functions/columns.py hash_split (xxhash64 production
 # path, pytest-covered); the gate pins the SEMANTICS — split assignment
