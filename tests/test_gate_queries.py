@@ -50,11 +50,12 @@ def test_paired_query_matches_duckdb(spark, duck, name):
 
 
 @pytest.mark.parametrize("name", ["minhash_lsh_pairs", "shingle_jaccard_pairs",
-                                  "substring_run_pairs", "prefix_fingerprint_dups",
+                                  "substring_run_pairs",
                                   "cosine_topk", "simhash_fingerprints",
                                   # exact_dup_groups was vacuous in r1/r2
                                   # (0 rows both engines); it now plants
                                   # dups and must never be degenerate again
+                                  # (r4: also carries the prefix_fp leg)
                                   "exact_dup_groups", "review_json_flatten",
                                   # planted contamination: must stay non-vacuous
                                   "ngram_decontamination"])
