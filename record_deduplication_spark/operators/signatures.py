@@ -47,13 +47,26 @@ SIGNED_SCHEMA = T.StructType([
     T.StructField("band_hashes", T.ArrayType(T.LongType())),
     T.StructField("fp_bands", T.ArrayType(T.LongType())),
     T.StructField("lgram_hashes", T.ArrayType(T.LongType())),
+    # distinct 64-bit shingle hashes (int64 bit-view of the uint64
+    # minhash input): lets the edges stage compute EXACT shingle
+    # Jaccard as JVM codegen size(array_intersect)/size(array_union)
+    # instead of re-tokenizing + re-shingling both transcripts inside a
+    # Python UDF per pair (VERDICT r3 #4 — the edges stage's largest
+    # Python kernel). A 2^-64 hash collision can only merge two
+    # distinct shingles, nudging Jaccard the same way for every pair
+    # that contains both — pair-for-pair equality with the string-set
+    # kernel is pinned by tests/test_verify_jaccard.py.
+    T.StructField("shingle_hashes", T.ArrayType(T.LongType())),
 ])
 
 
 def _sign_batch(pdf: pd.DataFrame, cfg: DedupConfig,
                 a_coef, b_coef) -> pd.DataFrame:
+    import numpy as np
+
     n_fp_bands = cfg.simhash_hamming_k + 1
     norms, ntoks, shas, fps, bands_l, fpb_l, lgr_l = [], [], [], [], [], [], []
+    shh_l: list[list[int]] = []
     norm_cache: dict[str, str] = {}
     for raw_txt, data, sr_hz in zip(pdf["transcript"], pdf["bytes"], pdf["sr_hz"]):
         key = raw_txt or ""
@@ -67,10 +80,15 @@ def _sign_batch(pdf: pd.DataFrame, cfg: DedupConfig,
 
         sh = X.shingles(toks, cfg.shingle_k)
         if sh:
-            sig = H.minhash_signature(H.hash_strs_u64(sh), a_coef, b_coef)
+            hh = H.hash_strs_u64(sh)
+            sig = H.minhash_signature(hh, a_coef, b_coef)
             bands_l.append([int(v) for v in H.band_hashes(sig, cfg.lsh_bands)])
+            # distinct SET of shingle hashes, bit-preserving int64 view
+            # (reuses the minhash input — no second hashing pass)
+            shh_l.append(np.unique(hh).view(np.int64).tolist())
         else:
             bands_l.append([])
+            shh_l.append([])
 
         lg = []
         seen: set[int] = set()
@@ -114,6 +132,7 @@ def _sign_batch(pdf: pd.DataFrame, cfg: DedupConfig,
         "band_hashes": bands_l,
         "fp_bands": fpb_l,
         "lgram_hashes": lgr_l,
+        "shingle_hashes": shh_l,
     })
 
 

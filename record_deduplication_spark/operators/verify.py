@@ -12,9 +12,12 @@ Criteria here are the north rule's:
              decoded-PCM allclose at SNR >= cfg.snr_db_min  (per-row
              invariant, BASELINE.json input_hint)
 
-All Python verification is vectorized `pandas_udf` (text) or
-`mapInPandas` (audio — batch-iterates the re-joined binary payloads of
-the few surviving candidates; bytes never enter a groupBy/window).
+Exact shingle Jaccard is pure JVM codegen over the distinct
+shingle-hash arrays carried from the signature scan (no Python at all
+in the stage's largest kernel). The remaining Python is vectorized
+`pandas_udf` (suffix-array runs, on the small undecided subset only)
+or `mapInPandas` (audio — batch-iterates the re-joined binary payloads
+of the few surviving candidates; bytes never enter a groupBy/window).
 
 Plan shape: the expensive suffix-array UDF runs only on the row subset
 that still needs it (cheap criteria first, then filter+union — NOT a
@@ -54,18 +57,21 @@ _IDS_PUSHDOWN_MAX = 1_000
 _IDS_PUSHDOWN_BATCHES = 32
 
 
-def jaccard_udf(cfg: DedupConfig):
-    k = cfg.shingle_k
-
-    @F.pandas_udf(T.DoubleType())
-    def _jac(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(a, b):
-            sx = set(X.shingles(X.tokenize(x or ""), k))
-            sy = set(X.shingles(X.tokenize(y or ""), k))
-            out.append(X.jaccard(sx, sy))
-        return pd.Series(out, dtype="float64")
-    return _jac
+def jaccard_expr(sh1, sh2):
+    """Exact shingle Jaccard as a pure JVM codegen expression over the
+    distinct shingle-hash arrays the signature scan already computed
+    (operators/signatures.py SIGNED_SCHEMA.shingle_hashes) — replaces
+    the r1-r3 Python set-ops UDF that re-tokenized + re-shingled both
+    transcripts per pair (VERDICT r3 #4: the edges stage's largest
+    Python kernel, and edges was the worst-scaling stage at 1.9x).
+    Matches functions/text.jaccard semantics: both-empty -> 0.0.
+    Pair-for-pair equality with the string-set kernel is pinned by
+    tests/test_verify_jaccard.py."""
+    union = F.array_union(sh1, sh2)
+    return F.when(
+        F.size(union) > 0,
+        F.size(F.array_intersect(sh1, sh2)) / F.size(union)
+    ).otherwise(F.lit(0.0))
 
 
 def jaro_winkler_udf():
@@ -101,9 +107,10 @@ def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFr
     are pure equality checks, so compact proxies carry them — 96 bits
     (2^-96) for the hard-merging exact verdict, 64 bits for the
     prefilter, where a collision can only ADD a candidate edge for
-    downstream verification, never drop one. The transcript strings
-    themselves are joined only onto the small textish subset that the
-    Jaccard / suffix-array UDFs actually read. Measured at 48k clips
+    downstream verification, never drop one. The shingle-hash arrays
+    are joined only onto the textish subset (JVM Jaccard), and the
+    transcript strings only onto the yet-smaller undecided subset the
+    suffix-array UDF actually reads. Measured at 48k clips
     this cut the stage's shuffled bytes ~8x, and the narrow context is
     broadcast-sized far longer than the string context would be (at
     local bench scale the context joins plan as broadcast hash joins —
@@ -163,17 +170,21 @@ def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFr
                .withColumn("verdict",
                            F.when(exact_ok, F.lit("exact"))))
 
-    # fetch the transcript strings for ONLY the UDF subset — two
-    # equi-joins that shuffle the small side, not the candidate set
-    norms = signed.select("clip_id", "transcript_norm")
+    # fetch the distinct shingle-hash arrays for ONLY the textish
+    # subset — two equi-joins that shuffle the small side, not the
+    # candidate set — and score exact Jaccard fully JVM-side (codegen
+    # array_intersect/array_union; no Python worker in this path)
+    shs = signed.select("clip_id", "shingle_hashes")
     t = (p.where(needs_udf)
-         .join(norms.select(F.col("clip_id").alias("id_1"),
-                            F.col("transcript_norm").alias("norm_1")), "id_1")
-         .join(norms.select(F.col("clip_id").alias("id_2"),
-                            F.col("transcript_norm").alias("norm_2")), "id_2")
-         .withColumn("jaccard", jaccard_udf(cfg)(F.col("norm_1"), F.col("norm_2"))))
-    # materialize after the Jaccard UDF: the decided/rest branches below
-    # would otherwise each re-run it (small: textish pairs only)
+         .join(shs.select(F.col("clip_id").alias("id_1"),
+                          F.col("shingle_hashes").alias("sh_1")), "id_1")
+         .join(shs.select(F.col("clip_id").alias("id_2"),
+                          F.col("shingle_hashes").alias("sh_2")), "id_2")
+         .withColumn("jaccard", jaccard_expr(F.col("sh_1"), F.col("sh_2")))
+         .drop("sh_1", "sh_2"))
+    # materialize once: three consumers below would otherwise re-run
+    # the context joins per branch (small: textish pairs only, and the
+    # wide shingle arrays are already dropped)
     t = t.localCheckpoint(eager=True)
 
     decided = (t.where(F.col("jaccard") >= cfg.jaccard_threshold)
@@ -181,19 +192,28 @@ def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFr
                .withColumn("common_run", F.lit(None).cast("int")))
     rest = t.where(~F.coalesce(F.col("jaccard") >= cfg.jaccard_threshold,
                                F.lit(False)))
-    # suffix-array verification only where an L-gram collision suggested it
-    needs_run = rest.where(has("substring"))
+    # suffix-array verification only where an L-gram collision suggested
+    # it — the transcript STRINGS are joined only onto this last, small
+    # undecided subset (the one remaining Python kernel in the stage)
+    norms = signed.select("clip_id", "transcript_norm")
+    needs_run = (rest.where(has("substring"))
+                 .join(norms.select(F.col("clip_id").alias("id_1"),
+                                    F.col("transcript_norm").alias("norm_1")),
+                       "id_1")
+                 .join(norms.select(F.col("clip_id").alias("id_2"),
+                                    F.col("transcript_norm").alias("norm_2")),
+                       "id_2"))
     no_run = rest.where(~has("substring")).withColumn("common_run",
                                                       F.lit(None).cast("int"))
-    ran = needs_run.withColumn(
+    ran = (needs_run.withColumn(
         "common_run", common_run_udf(cfg)(F.col("norm_1"), F.col("norm_2")))
+        .drop("norm_1", "norm_2"))
     undecided = (ran.unionByName(no_run)
                  .withColumn("verdict",
                              F.when(F.col("common_run") >= cfg.substring_min_tokens,
                                     F.lit("substring"))))
 
-    out = no_need.unionByName(
-        decided.unionByName(undecided).drop("norm_1", "norm_2"))
+    out = no_need.unionByName(decided.unionByName(undecided))
     # score contract (edge_prob01): text -> its jaccard; exact AND
     # substring -> 1.0. A substring pair only exists where jaccard <
     # threshold, so carrying that sub-threshold jaccard as its score

@@ -9,10 +9,23 @@ from record_deduplication_spark.config import DEFAULT_CONFIG
 from record_deduplication_spark.operators.verify import verify_text
 
 SIGNED_COLS = ("clip_id string, transcript_norm string, sha_bytes string, "
-               "pcm_fp long")
+               "pcm_fp long, shingle_hashes array<long>")
+
+
+def _shingle_hashes(norm):
+    """Same kernel the signature scan uses (distinct int64 view)."""
+    import numpy as np
+
+    from record_deduplication_spark.functions import hashing as H
+    from record_deduplication_spark.functions import text as X
+    sh = X.shingles(X.tokenize(norm or ""), DEFAULT_CONFIG.shingle_k)
+    if not sh:
+        return []
+    return np.unique(H.hash_strs_u64(sh)).view(np.int64).tolist()
 
 
 def _signed(spark, rows):
+    rows = [(*r, _shingle_hashes(r[1])) for r in rows]
     return spark.createDataFrame(rows, SIGNED_COLS)
 
 
