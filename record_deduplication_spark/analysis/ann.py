@@ -72,19 +72,37 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> list[list
     return rng.normal(size=(n_tables, n_planes, dim)).tolist()
 
 
-def _bucket_expr(vec_col: str, planes: list[list[float]]):
-    """Sign-pattern bucket id for one table: sum_i (dot(v, p_i) > 0) << i."""
-    bits = []
-    for i, p in enumerate(planes):
-        arr = F.array([F.lit(float(x)) for x in p])
-        dot = F.aggregate(F.zip_with(F.col(vec_col), arr,
-                                     lambda x, y: x.cast("double") * y),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def _bucket_sig_udf(tables):
+    """ALL tables' sign-pattern bucket ids in ONE Arrow matmul per
+    batch: bucket[t] = sum_i (dot(v, p_ti) > 0) << i.
+
+    Replaces the r1-r3 per-plane expression builder, which baked
+    n_tables x n_planes x dim `F.lit` leaves into the plan — fine at
+    test dims (<=16), but at real embedding dims (768-4096) that is
+    25k-130k literal expressions per bucketize, the same
+    codegen-blowup class as the >1k-literal In-predicate
+    StackOverflow capped in operators/verify.py (VERDICT r3 #5). The
+    plane matrix now rides the UDF closure (broadcast once per
+    executor), and the plan carries a single Arrow node regardless of
+    dim."""
+    from pyspark.sql.functions import pandas_udf
+
+    p = np.asarray(tables, dtype=np.float64)          # (T, B, D)
+    n_tables, n_planes, _dim = p.shape
+    flat = p.reshape(n_tables * n_planes, -1)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(v.tolist(), dtype=np.float64)    # (n, D)
+        bits = (x @ flat.T) > 0                       # (n, T*B)
+        bits = bits.reshape(len(x), n_tables, n_planes)
+        buckets = (bits * weights).sum(axis=2)        # (n, T)
+        return pd.Series(list(buckets))
+
+    return sig
 
 
 def fit_ivf_centroids(corpus: DataFrame, n_cells: int = 64,
@@ -216,18 +234,21 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     tables = _hyperplanes(dim, n_planes, n_tables, seed)
+    sig = _bucket_sig_udf(tables)
 
     def bucketize(df: DataFrame, idc: str, out_id: str) -> DataFrame:
-        parts = []
-        for t, planes in enumerate(tables):
-            parts.append(df.select(
-                F.col(idc).alias(out_id), F.col(vec_col).alias(f"{out_id}_v"),
-                F.lit(t).alias("tbl"),
-                _bucket_expr(vec_col, planes).alias("bucket")))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        # null/empty/off-dimension rows are dropped BEFORE the Arrow
+        # UDF (one ragged row would crash the whole batch's np.array;
+        # a vector of another dimension cannot be hashed against these
+        # planes anyway), then ONE scan computes every table's bucket
+        # and posexplode fans out the (tbl, bucket) keys — the r1-r3
+        # shape re-scanned the input n_tables times through a union.
+        ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+        return (df.where(ok)
+                .select(F.col(idc).alias(out_id),
+                        F.col(vec_col).alias(f"{out_id}_v"),
+                        F.posexplode(sig(F.col(vec_col)))
+                        .alias("tbl", "bucket")))
 
     cb = bucketize(corpus, id_col, "neighbor_id")
     qb = bucketize(queries, id_col, "query_id")

@@ -81,6 +81,13 @@ def semantic_dedup(corpus: DataFrame, *, id_col: str = "vec_id",
     else:
         cents = fit_ivf_centroids(base, n_cells=n_cells, vec_col=vec_col,
                                   sample_n=sample_n, seed=seed)
+        # only rows matching the quantizer's dimension can be probed: a
+        # mixed-dimension corpus (partial re-embed, schema migration)
+        # would make np.array ragged INSIDE the Arrow UDF and kill the
+        # job; off-dimension rows have nothing comparable in any cell
+        # and get explicit keep verdicts below, same as vectorless rows
+        has_vec = has_vec & (F.size(vec_col) == int(cents.shape[1]))
+        base = corpus.where(has_vec)
         probe = _probe_cells_udf(cents, n_probe=1)
         cells = base.withColumn("cell",
                                 F.element_at(probe(F.col(vec_col)), 1)
