@@ -135,9 +135,30 @@ class DedupPipeline:
         old edge can); connected components over the union. The
         combined `signed`/`candidates`/`edges`/`clusters` tables are
         COMMITTED back, so the next batch folds into this run's state.
-        Work scales with |new| + touched blocks, never |old|^2
-        (pair-for-pair equality with the full run is proven in
-        tests/test_blocking.py and tests/test_pipeline_e2e.py).
+        Work scales with |new| + touched blocks, never |old|^2.
+
+        Equality contract (ADVICE r3): pair-for-pair equality of the
+        NEW-touching pairs with a from-scratch run is exact and
+        tested (tests/test_blocking.py, tests/test_pipeline_e2e.py).
+        Full CANDIDATE-set equality additionally requires that
+        touched blocks keep their tier/salt structure: the hot tier's
+        n_salts = ceil(block_size / salt_target) and chain windows
+        depend on block size, so a block that CROSSES a tier boundary
+        or changes its salt count when the batch lands would have
+        paired its old x old members differently in a combined
+        from-scratch run. Those extra old x old pairs are chain
+        redundancy, not recall: hot-tier chains + per-salt
+        representatives keep every same-block group CONNECTED under
+        any salting (operators/blocking.py tier invariant, measured in
+        tests/test_blocking.py::test_hot_block_chain_connectivity), and
+        connected components is invariant to which spanning edges
+        realize the connection — so cluster assignments still match
+        the from-scratch run wherever verification is transitive on
+        same-block dups (exact/SNR criteria: always; borderline
+        Jaccard chains can in principle split differently). For
+        hard-equality audits, re-pair blocks whose tier or n_salts
+        changed instead of folding (not the default: it re-verifies
+        O(touched-block^2) old pairs for no recall gain).
 
         Precondition: `new_clips` ids are NEW (not re-ingests of
         existing clip_ids) — dedup of the id space itself belongs to

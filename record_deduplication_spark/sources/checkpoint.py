@@ -112,17 +112,37 @@ class CheckpointStore:
         """Fold new rows into an existing stage table WITHOUT rewriting
         it — the incremental-ingest primitive (O(|new|) IO; a full
         rewrite of the signed/edge tables would be O(|corpus|) per
-        batch). Iceberg mode is a snapshot append; parquet mode adds
-        part files alongside the committed ones (columns are aligned
-        by the existing table's order first, since the parquet reader
-        merges files by position-independent name only when schemas
-        agree)."""
+        batch). Iceberg mode is a snapshot append (atomic commit).
+
+        Parquet mode stages the new part files in a sibling directory
+        and only then MOVES them into the committed stage dir: a
+        `mode('append')` straight into the stage dir would leave
+        partial rows committed if the batch job dies mid-write,
+        corrupting the state the next incremental run folds into
+        (ADVICE r3). The residual window is the rename loop itself —
+        microseconds of `os.rename` on one filesystem vs minutes of
+        job — and a crash inside it leaves whole readable part files,
+        never a torn one; Iceberg mode is the fully atomic path.
+        Columns are aligned to the existing table's order first, since
+        the parquet reader merges files by name only when schemas
+        agree."""
         existing = self.read(stage)
         df = df.select(*existing.columns)
         if self.use_iceberg:
             df.writeTo(self.path(stage)).append()
-        else:
-            df.write.mode("append").parquet(self.path(stage))
+            return self.read(stage)
+        import glob
+        import shutil
+        import uuid
+        staging = os.path.join(self.base,
+                               f".{stage}__append_{uuid.uuid4().hex[:12]}")
+        try:
+            df.write.mode("overwrite").parquet(staging)
+            for p in glob.glob(os.path.join(staging, "part-*.parquet")):
+                os.rename(p, os.path.join(self.path(stage),
+                                          os.path.basename(p)))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
         return self.read(stage)
 
     def read(self, stage: str) -> DataFrame:
