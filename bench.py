@@ -146,11 +146,14 @@ def main() -> None:
             e2e = run_dedup_e2e(spark, corpus, workdir)
         except BaseException:
             shutil.rmtree(workdir, ignore_errors=True)
+            if last_wd is not None:  # the ladder's finally never runs
+                shutil.rmtree(last_wd, ignore_errors=True)
             raise
         for st, sec in e2e["stages"].items():
             stage_best[st] = min(stage_best.get(st, sec), sec)
+        sec3 = round(e2e["sec"], 3)
         timings["clips_dedup_e2e"] = min(
-            timings.get("clips_dedup_e2e", e2e["sec"]), round(e2e["sec"], 3))
+            timings.get("clips_dedup_e2e", sec3), sec3)
         if last_wd is not None:
             shutil.rmtree(last_wd, ignore_errors=True)
         last_wd = workdir

@@ -67,9 +67,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.round("cosine", 6).alias("cosine"), "rank"))
 
 
-def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> list[list[list[float]]]:
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    return rng.normal(size=(n_tables, n_planes, dim)).tolist()
+    return rng.normal(size=(n_tables, n_planes, dim))
 
 
 def _bucket_sig_udf(tables):

@@ -1997,9 +1997,10 @@ BENCH_ONLY = frozenset({"token_count_stats", "events_hourly"})
 
 def all_names() -> list[str]:
     names = sorted((set(PAIRED_SQL) | set(PAIRED_FN)) - BENCH_ONLY)
-    assert len(names) <= 50, (
-        f"{len(names)} gates exceed the driver's 50-entry correctness "
-        f"window — merge or BENCH_ONLY the overflow (VERDICT r3 #2)")
+    if len(names) > 50:  # ValueError, not assert: must survive python -O
+        raise ValueError(
+            f"{len(names)} gates exceed the driver's 50-entry correctness "
+            f"window — merge or BENCH_ONLY the overflow (VERDICT r3 #2)")
     return names
 
 

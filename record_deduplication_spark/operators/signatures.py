@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -60,10 +61,29 @@ SIGNED_SCHEMA = T.StructType([
 ])
 
 
+def _i64_shingle_set(hh) -> list[int]:
+    """uint64 shingle hashes -> the canonical `shingle_hashes` value:
+    distinct hashes as a bit-preserving int64 view, sorted by uint64
+    value. Every producer of the column goes through here."""
+    if hh is None or not len(hh):
+        return []
+    return np.unique(hh).view(np.int64).tolist()
+
+
+def shingle_hash_set(norm: str, k: int) -> list[int]:
+    """Canonical `signed.shingle_hashes` for one NORMALIZED transcript.
+
+    Single source of truth for the stored representation: the fused
+    signature scan (`_sign_batch`), the pre-r4 workdir migration
+    (`migrate_signed`), and the pair-for-pair Jaccard equality tests
+    all share this chain, so the tests pin the production kernel
+    rather than a private re-implementation drifting beside it."""
+    sh = X.shingles(X.tokenize(norm or ""), k)
+    return _i64_shingle_set(H.hash_strs_u64(sh) if sh else None)
+
+
 def _sign_batch(pdf: pd.DataFrame, cfg: DedupConfig,
                 a_coef, b_coef) -> pd.DataFrame:
-    import numpy as np
-
     n_fp_bands = cfg.simhash_hamming_k + 1
     norms, ntoks, shas, fps, bands_l, fpb_l, lgr_l = [], [], [], [], [], [], []
     shh_l: list[list[int]] = []
@@ -83,9 +103,10 @@ def _sign_batch(pdf: pd.DataFrame, cfg: DedupConfig,
             hh = H.hash_strs_u64(sh)
             sig = H.minhash_signature(hh, a_coef, b_coef)
             bands_l.append([int(v) for v in H.band_hashes(sig, cfg.lsh_bands)])
-            # distinct SET of shingle hashes, bit-preserving int64 view
-            # (reuses the minhash input — no second hashing pass)
-            shh_l.append(np.unique(hh).view(np.int64).tolist())
+            # distinct SET of shingle hashes (reuses the minhash
+            # input hh — no second hashing pass; same representation
+            # as shingle_hash_set by construction)
+            shh_l.append(_i64_shingle_set(hh))
         else:
             bands_l.append([])
             shh_l.append([])
@@ -153,3 +174,29 @@ def add_signatures(clips: DataFrame, cfg: DedupConfig,
     if clips.rdd.getNumPartitions() < max(2, n // 2):
         src = clips.repartition(n)
     return src.mapInPandas(_run, schema=SIGNED_SCHEMA)
+
+
+def migrate_signed(signed: DataFrame, cfg: DedupConfig) -> DataFrame | None:
+    """Bring a stored `signed` table written by a pre-r4 layout (no
+    `shingle_hashes` column) up to SIGNED_SCHEMA, or return None if it
+    is already current.
+
+    The column derives purely from `transcript_norm` (which every
+    layout stores), so the migration is one text-only Arrow pass — no
+    audio payload re-decode, no re-scan of the clips source. Without
+    it, resume and run_incremental on an old workdir crash in the
+    edges stage, and CheckpointStore.append (which aligns new rows to
+    the EXISTING table's columns) would silently re-drop the column
+    forever. The caller must REWRITE the stage table with the result
+    (see DedupPipeline._signed_current), not just use it in-flight."""
+    if "shingle_hashes" in signed.columns:
+        return None
+    k = cfg.shingle_k
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _shh(norm: pd.Series) -> pd.Series:
+        return pd.Series([shingle_hash_set(s, k) for s in norm],
+                         dtype=object)
+
+    out = signed.withColumn("shingle_hashes", _shh(F.col("transcript_norm")))
+    return out.select(*[f.name for f in SIGNED_SCHEMA])

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..config import DedupConfig, DEFAULT_CONFIG
 from ..operators import blocking as B
 from ..operators.cc import assign_clusters, connected_components
-from ..operators.signatures import add_signatures
+from ..operators.signatures import add_signatures, migrate_signed
 from ..operators.stats import clustered
 from ..operators.verify import build_edges
 from ..sources.checkpoint import CheckpointStore
@@ -55,9 +55,22 @@ class DedupPipeline:
         self.cfg = cfg
         self.store = CheckpointStore(spark, workdir)
 
+    def _signed_current(self, df: DataFrame) -> DataFrame:
+        """One-time in-place migration of a pre-r4 stored `signed`
+        table (no shingle_hashes). The stage table is REWRITTEN, not
+        just patched in-flight: CheckpointStore.append aligns new rows
+        to the existing table's columns, so an unmigrated table would
+        silently re-drop the column on every incremental batch."""
+        migrated = migrate_signed(df, self.cfg)
+        if migrated is None:
+            return df
+        return self.store.rewrite("signed", migrated)
+
     def _stage(self, name: str, run_id: int, resume: bool, build) -> tuple[DataFrame, int]:
         if resume and self.store.exists(name):
             df = self.store.read(name)
+            if name == "signed":
+                df = self._signed_current(df)
             return df, df.count()
         t0 = time.time()
         df = self.store.write(name, build())
@@ -170,7 +183,7 @@ class DedupPipeline:
                 raise ValueError(
                     f"run_incremental needs a completed prior run: "
                     f"stage table {stage!r} not found under the workdir")
-        signed_old = self.store.read("signed")
+        signed_old = self._signed_current(self.store.read("signed"))
 
         t0 = time.time()
         signed_new = add_signatures(new_clips, cfg).localCheckpoint(eager=True)

@@ -108,6 +108,31 @@ class CheckpointStore:
             df.write.mode("overwrite").parquet(self.path(stage))
         return self.read(stage)
 
+    def rewrite(self, stage: str, df: DataFrame) -> DataFrame:
+        """Replace a stage table with a transformation OF ITSELF: `df`
+        may read from the current table (schema migration, compaction).
+        `write()` cannot do this in parquet mode — mode('overwrite')
+        deletes the source files the plan is still reading. Iceberg's
+        snapshot isolation makes the direct replace safe; parquet mode
+        writes the new files to a sibling temp dir first, then swaps
+        directories (two renames on one filesystem)."""
+        if self.use_iceberg:
+            return self.write(stage, df)
+        import shutil
+        import uuid
+        tag = uuid.uuid4().hex[:12]
+        tmp = os.path.join(self.base, f".{stage}__rewrite_{tag}")
+        final = self.path(stage)
+        try:
+            df.write.mode("overwrite").parquet(tmp)
+            old = f"{final}__old_{tag}"
+            os.rename(final, old)
+            os.rename(tmp, final)
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return self.read(stage)
+
     def append(self, stage: str, df: DataFrame) -> DataFrame:
         """Fold new rows into an existing stage table WITHOUT rewriting
         it — the incremental-ingest primitive (O(|new|) IO; a full

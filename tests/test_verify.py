@@ -13,15 +13,10 @@ SIGNED_COLS = ("clip_id string, transcript_norm string, sha_bytes string, "
 
 
 def _shingle_hashes(norm):
-    """Same kernel the signature scan uses (distinct int64 view)."""
-    import numpy as np
-
-    from record_deduplication_spark.functions import hashing as H
-    from record_deduplication_spark.functions import text as X
-    sh = X.shingles(X.tokenize(norm or ""), DEFAULT_CONFIG.shingle_k)
-    if not sh:
-        return []
-    return np.unique(H.hash_strs_u64(sh)).view(np.int64).tolist()
+    """THE production kernel (operators/signatures.shingle_hash_set),
+    not a test-local re-implementation that could drift beside it."""
+    from record_deduplication_spark.operators.signatures import shingle_hash_set
+    return shingle_hash_set(norm, DEFAULT_CONFIG.shingle_k)
 
 
 def _signed(spark, rows):

@@ -14,7 +14,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from record_deduplication_spark.config import DEFAULT_CONFIG
-from record_deduplication_spark.functions import hashing as H
 from record_deduplication_spark.functions import text as X
 from record_deduplication_spark.operators.verify import jaccard_expr
 
@@ -41,10 +40,11 @@ def _texts(n=120, seed=7):
 
 
 def _sh_hashes(norm):
-    sh = X.shingles(X.tokenize(norm), K)
-    if not sh:
-        return []
-    return np.unique(H.hash_strs_u64(sh)).view(np.int64).tolist()
+    """THE production kernel shared with _sign_batch — so the equality
+    below pins the pipeline's stored representation, not a test-local
+    re-implementation that could drift beside it."""
+    from record_deduplication_spark.operators.signatures import shingle_hash_set
+    return shingle_hash_set(norm, K)
 
 
 def test_jvm_jaccard_equals_python_kernel_exactly(spark):
@@ -83,18 +83,14 @@ def test_jaccard_expr_both_empty_is_zero(spark):
     assert vals == [0.0, 0.0, 0.0, pytest.approx(1 / 3)]
 
 
-def test_edges_stage_has_no_python_in_jaccard_plan(spark, monkeypatch):
+def test_edges_stage_has_no_python_in_jaccard_plan(spark):
     """The textish-verify plan up to and including the Jaccard verdict
     must contain no ArrowEvalPython / BatchEvalPython node: Jaccard is
-    JVM codegen (the suffix-array UDF applies only to the
-    post-threshold undecided subset, exercised elsewhere).
-    localCheckpoint is bypassed so the REAL pre-materialization plan —
-    not a checkpoint scan — is what the assertion reads."""
-    from pyspark.sql import DataFrame
-
+    JVM codegen. verify_text has no mid-stage checkpoint since r4, so
+    the plan read here IS the real one; the suffix-array UDF applies
+    only to the post-threshold undecided subset (the verdict='text'
+    filter prunes that union branch), exercised elsewhere."""
     from record_deduplication_spark.operators.verify import verify_text
-    monkeypatch.setattr(DataFrame, "localCheckpoint",
-                        lambda self, eager=True: self)
     base = " ".join(f"tok{i}" for i in range(40))
     texts = [base + " dog", base + " cat"]   # jaccard 38/42 ~ 0.905 >= 0.80
     signed = spark.createDataFrame(
