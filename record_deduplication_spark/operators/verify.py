@@ -182,13 +182,20 @@ def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFr
                           F.col("shingle_hashes").alias("sh_2")), "id_2")
          .withColumn("jaccard", jaccard_expr(F.col("sh_1"), F.col("sh_2")))
          .drop("sh_1", "sh_2"))
-    # NOT checkpointed (r4): with Jaccard now pure codegen, the three
-    # consumers below re-run only cheap expression work — at scale the
-    # join exchanges dedup via ReusedExchange, and dropping the eager
-    # checkpoint removes one core-count-independent job barrier from
-    # the stage (measured best-of-3 at 2k clips: 8.2 s vs 8.8 s e2e).
-    # The r1-r3 checkpoint existed to keep the PYTHON Jaccard from
-    # re-running per branch.
+    # materialize once: the three consumers below (text-decided /
+    # suffix-array-undecided / audio-pending) otherwise re-run the
+    # candidate+context join chain per branch. A 2k-clip e2e best-of-3
+    # said removal wins (8.2 vs 8.8 s — one fewer job barrier), but an
+    # interleaved A/B at 48k on pinned 8 cores said the OPPOSITE,
+    # decisively: with-checkpoint won every matched pair (26.2 vs
+    # 117.4, 25.4 vs 30.3, 36.6 vs 56.4 s edges stage; jobs/edges_ab.py)
+    # — at real scale the re-run is join work over the full candidate
+    # set, not "cheap expression work", and ReusedExchange does not
+    # cover the divergent post-join projections. Keep the checkpoint;
+    # the env toggle below exists only so the A/B stays re-runnable.
+    import os as _os
+    if _os.environ.get("SPARK_GRAFT_VERIFY_TEXT_NO_CHECKPOINT") != "1":
+        t = t.localCheckpoint(eager=True)
 
     decided = (t.where(F.col("jaccard") >= cfg.jaccard_threshold)
                .withColumn("verdict", F.lit("text"))

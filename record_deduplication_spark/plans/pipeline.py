@@ -71,7 +71,12 @@ class DedupPipeline:
             df = self.store.read(name)
             if name == "signed":
                 df = self._signed_current(df)
-            return df, df.count()
+            # row count from commit metadata (parquet footers / Iceberg
+            # manifests), NOT df.count(): a resumed run must not pay a
+            # full scan-and-count job per stage table it merely reads
+            # back (at corpus scale that is the most expensive thing a
+            # "resume" could possibly do)
+            return df, sum(n for _, n in self.store.partition_rows(name))
         t0 = time.time()
         df = self.store.write(name, build())
         # per-partition lineage from commit METADATA (parquet footers /
@@ -205,8 +210,11 @@ class DedupPipeline:
         # tables (Iceberg mode: snapshot appends). The edge union is
         # disjoint by construction: every incremental edge touches a
         # new clip, which no old edge can.
+        # counts of the folded tables from commit metadata (footers /
+        # manifests) — an incremental batch must never pay a
+        # corpus-sized count job over the tables it just appended to
         edges_all = self.store.append("edges", edges_new)
-        n_edges = edges_all.count()
+        n_edges = sum(n for _, n in self.store.partition_rows("edges"))
         self.store.log(run_id, "edges_inc", t0, n_edges, 0)
 
         signed_all = self.store.append("signed", signed_new)
@@ -218,12 +226,13 @@ class DedupPipeline:
                             connected_components(
                                 edges_all.select("id_1", "id_2"), cfg),
                             cfg))
-        n_clips = signed_all.count()
+        n_clips = sum(n for _, n in self.store.partition_rows("signed"))
         self.store.log(run_id, "clusters_inc", t0, n_clips, 0)
         stats = {
             "n_clips": n_clips,
             "n_new_clips": n_new,
-            "n_candidates": cands_all.count(),
+            "n_candidates": sum(
+                n for _, n in self.store.partition_rows("candidates")),
             "n_new_candidates": n_cands_new,
             "n_edges": n_edges,
             "n_clusters": clusters.where(clustered())

@@ -83,13 +83,16 @@ def test_jaccard_expr_both_empty_is_zero(spark):
     assert vals == [0.0, 0.0, 0.0, pytest.approx(1 / 3)]
 
 
-def test_edges_stage_has_no_python_in_jaccard_plan(spark):
+def test_edges_stage_has_no_python_in_jaccard_plan(spark, monkeypatch):
     """The textish-verify plan up to and including the Jaccard verdict
     must contain no ArrowEvalPython / BatchEvalPython node: Jaccard is
-    JVM codegen. verify_text has no mid-stage checkpoint since r4, so
-    the plan read here IS the real one; the suffix-array UDF applies
-    only to the post-threshold undecided subset (the verdict='text'
-    filter prunes that union branch), exercised elsewhere."""
+    JVM codegen. The mid-stage checkpoint is bypassed (env toggle, the
+    same one jobs/edges_ab.py uses) so the REAL pre-materialization
+    plan — not a checkpoint scan — is what the assertion reads; the
+    suffix-array UDF applies only to the post-threshold undecided
+    subset (the verdict='text' filter prunes that union branch),
+    exercised elsewhere."""
+    monkeypatch.setenv("SPARK_GRAFT_VERIFY_TEXT_NO_CHECKPOINT", "1")
     from record_deduplication_spark.operators.verify import verify_text
     base = " ".join(f"tok{i}" for i in range(40))
     texts = [base + " dog", base + " cat"]   # jaccard 38/42 ~ 0.905 >= 0.80
