@@ -98,3 +98,28 @@ def test_run_incremental_migrates_pre_r4_workdir(spark, clips, tmp_path):
     assert "shingle_hashes" in pipe.store.read("signed").columns
     assert pipe.store.read("signed").where(
         F.col("shingle_hashes").isNull()).count() == 0
+
+
+def test_checkpoint_rewrite_self_referential(spark, tmp_path):
+    """CheckpointStore.rewrite must support a df that READS FROM the
+    table being replaced (parquet mode's overwrite would delete source
+    files mid-read without the sibling-dir swap), must leave no temp
+    dirs behind, and must keep the table readable with the transformed
+    content."""
+    import os
+
+    from record_deduplication_spark.sources.checkpoint import CheckpointStore
+    store = CheckpointStore(spark, str(tmp_path / "wd"))
+    src = spark.range(100).withColumnRenamed("id", "v")
+    store.write("t", src)
+    transformed = store.read("t").withColumn("v2", F.col("v") * 2)
+    out = store.rewrite("t", transformed)
+    got = {(r.v, r.v2) for r in out.collect()}
+    assert got == {(i, 2 * i) for i in range(100)}
+    # re-read from a fresh handle (the swap really committed)
+    assert store.read("t").count() == 100
+    # footer counts stay consistent for the resumed-stage count path
+    assert sum(n for _, n in store.partition_rows("t")) == 100
+    leftovers = [d for d in os.listdir(str(tmp_path / "wd"))
+                 if "__rewrite_" in d or "__old_" in d]
+    assert leftovers == []
