@@ -187,3 +187,31 @@ def test_run_incremental_equals_full_run(spark, tmp_path):
     with pytest.raises(ValueError, match="completed prior run"):
         DedupPipeline(spark, str(tmp_path / "empty")).run_incremental(
             new_clips, all_clips=clips)
+
+
+def test_degenerate_corpora(spark, tmp_path):
+    """The full pipeline must survive the corpora a production ingest
+    inevitably produces: an empty batch, a single clip, and a batch of
+    byte-identical clips under distinct ids (one cluster, noise-free)."""
+    import pandas as pd
+
+    from record_deduplication_spark.datagen import generate_clips
+    from record_deduplication_spark.plans.pipeline import DedupPipeline
+
+    pdf, _ = generate_clips(n_clips=5, seed=1)
+    one = spark.createDataFrame(pdf.iloc[:1])
+
+    r1 = DedupPipeline(spark, str(tmp_path / "one")).run(one, resume=False)
+    assert r1.stats == {"n_clips": 1, "n_candidates": 0, "n_edges": 0,
+                        "n_clusters": 0, "reduction_ratio": 1.0}
+
+    r0 = DedupPipeline(spark, str(tmp_path / "zero")).run(
+        one.where("1=0"), resume=False)
+    assert r0.stats["n_clips"] == 0 and r0.stats["n_clusters"] == 0
+
+    dup = pd.concat([pdf.iloc[:1]] * 5, ignore_index=True)
+    dup["clip_id"] = [f"c{i}" for i in range(5)]
+    rd = DedupPipeline(spark, str(tmp_path / "dup")).run(
+        spark.createDataFrame(dup), resume=False)
+    assert rd.stats["n_clusters"] == 1
+    assert {r.cluster_id for r in rd.clusters.collect()} == {"c0"}
