@@ -46,6 +46,10 @@ def prepare(workdir, n):
 
 
 def rep(workdir, n, variant):
+    # a typo'd variant must never record a mislabeled timing — these
+    # matched pairs are the evidence behind keeping the checkpoint
+    if variant not in ("chk", "nochk"):
+        raise SystemExit(f"unknown variant {variant!r}: use chk|nochk")
     os.environ["SPARK_GRAFT_VERIFY_TEXT_NO_CHECKPOINT"] = \
         "0" if variant == "chk" else "1"
     from record_deduplication_spark.plans.pipeline import DedupPipeline
@@ -65,5 +69,8 @@ if __name__ == "__main__":
     cmd, wd, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
     if cmd == "prepare":
         prepare(wd, n)
-    else:
+    elif cmd == "rep":
         rep(wd, n, sys.argv[4])
+    else:
+        raise SystemExit(f"unknown command {cmd!r}: use prepare|rep "
+                         f"(see module docstring)")

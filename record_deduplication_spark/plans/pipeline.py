@@ -55,22 +55,35 @@ class DedupPipeline:
         self.cfg = cfg
         self.store = CheckpointStore(spark, workdir)
 
-    def _signed_current(self, df: DataFrame) -> DataFrame:
+    def _signed_current(self, df: DataFrame, run_id: int) -> DataFrame:
         """One-time in-place migration of a pre-r4 stored `signed`
         table (no shingle_hashes). The stage table is REWRITTEN, not
         just patched in-flight: CheckpointStore.append aligns new rows
         to the existing table's columns, so an unmigrated table would
-        silently re-drop the column on every incremental batch."""
+        silently re-drop the column on every incremental batch. The
+        rewrite is an O(corpus) job, so it gets its own metrics row —
+        a resume whose wall-clock is dominated by migration must
+        localize to a stage like every other cost in this pipeline."""
         migrated = migrate_signed(df, self.cfg)
         if migrated is None:
             return df
-        return self.store.rewrite("signed", migrated)
+        t0 = time.time()
+        out = self.store.rewrite("signed", migrated)
+        part_rows = self.store.partition_rows("signed")
+        self.store.log(run_id, "signed_migrate", t0,
+                       sum(n for _, n in part_rows), len(part_rows))
+        return out
 
-    def _stage(self, name: str, run_id: int, resume: bool, build) -> tuple[DataFrame, int]:
+    def _stage(self, name: str, run_id: int, resume: bool, build,
+               migrate=None) -> tuple[DataFrame, int]:
+        """`migrate`: optional (df, run_id) -> df hook applied when a
+        stored table is read back on resume — the per-stage place for
+        stored-layout upgrades, so the generic runner never grows
+        stage-name special cases."""
         if resume and self.store.exists(name):
             df = self.store.read(name)
-            if name == "signed":
-                df = self._signed_current(df)
+            if migrate is not None:
+                df = migrate(df, run_id)
             # row count from commit metadata (parquet footers / Iceberg
             # manifests), NOT df.count(): a resumed run must not pay a
             # full scan-and-count job per stage table it merely reads
@@ -96,7 +109,8 @@ class DedupPipeline:
         run_id = self.store.next_run_id()
 
         signed, n_clips = self._stage("signed", run_id, resume,
-                                      lambda: add_signatures(clips, cfg))
+                                      lambda: add_signatures(clips, cfg),
+                                      migrate=self._signed_current)
 
         cands, n_cands = self._stage(
             "candidates", run_id, resume,
@@ -188,7 +202,7 @@ class DedupPipeline:
                 raise ValueError(
                     f"run_incremental needs a completed prior run: "
                     f"stage table {stage!r} not found under the workdir")
-        signed_old = self._signed_current(self.store.read("signed"))
+        signed_old = self._signed_current(self.store.read("signed"), run_id)
 
         t0 = time.time()
         signed_new = add_signatures(new_clips, cfg).localCheckpoint(eager=True)

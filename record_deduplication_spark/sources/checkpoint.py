@@ -98,6 +98,7 @@ class CheckpointStore:
     def exists(self, stage: str) -> bool:
         if self.use_iceberg:
             return self.spark.catalog.tableExists(self.path(stage))
+        self._repair_interrupted_rewrite(stage)
         return os.path.exists(os.path.join(self.path(stage), "_SUCCESS"))
 
     def write(self, stage: str, df: DataFrame) -> DataFrame:
@@ -115,7 +116,14 @@ class CheckpointStore:
         deletes the source files the plan is still reading. Iceberg's
         snapshot isolation makes the direct replace safe; parquet mode
         writes the new files to a sibling temp dir first, then swaps
-        directories (two renames on one filesystem)."""
+        directories (two renames on one filesystem).
+
+        Failure contract: if the swap's second rename raises, the
+        original directory is renamed back (the table is never lost to
+        an exception); a process KILL between the two renames leaves
+        the committed data in `<stage>__old_<tag>`, which exists()
+        repairs on the next run (_repair_interrupted_rewrite) — so the
+        resume contract survives a crash at any point."""
         if self.use_iceberg:
             return self.write(stage, df)
         import shutil
@@ -123,15 +131,35 @@ class CheckpointStore:
         tag = uuid.uuid4().hex[:12]
         tmp = os.path.join(self.base, f".{stage}__rewrite_{tag}")
         final = self.path(stage)
+        old = f"{final}__old_{tag}"
         try:
             df.write.mode("overwrite").parquet(tmp)
-            old = f"{final}__old_{tag}"
-            os.rename(final, old)
-            os.rename(tmp, final)
-            shutil.rmtree(old, ignore_errors=True)
-        finally:
+        except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        os.rename(final, old)
+        try:
+            os.rename(tmp, final)
+        except BaseException:
+            os.rename(old, final)  # roll back; the table is intact
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
         return self.read(stage)
+
+    def _repair_interrupted_rewrite(self, stage: str) -> None:
+        """A kill between rewrite()'s two renames leaves the committed
+        table under `<stage>__old_<tag>` and no stage dir; restore it
+        so resume sees the pre-rewrite state instead of re-paying the
+        stage (or, for `signed` on run_incremental, hard-failing)."""
+        final = self.path(stage)
+        if os.path.exists(os.path.join(final, "_SUCCESS")):
+            return
+        import glob
+        olds = [d for d in sorted(glob.glob(f"{final}__old_*"))
+                if os.path.exists(os.path.join(d, "_SUCCESS"))]
+        if len(olds) == 1 and not os.path.exists(final):
+            os.rename(olds[0], final)
 
     def append(self, stage: str, df: DataFrame) -> DataFrame:
         """Fold new rows into an existing stage table WITHOUT rewriting

@@ -123,3 +123,21 @@ def test_checkpoint_rewrite_self_referential(spark, tmp_path):
     leftovers = [d for d in os.listdir(str(tmp_path / "wd"))
                  if "__rewrite_" in d or "__old_" in d]
     assert leftovers == []
+
+
+def test_rewrite_kill_window_repair_and_rollback(spark, tmp_path):
+    """rewrite()'s failure contract: a process kill between the two
+    renames leaves the committed table in <stage>__old_<tag>; exists()
+    must repair it (rename back) so resume sees the pre-rewrite state
+    instead of re-paying the stage or hard-failing run_incremental."""
+    import os
+
+    from record_deduplication_spark.sources.checkpoint import CheckpointStore
+    store = CheckpointStore(spark, str(tmp_path / "wd"))
+    store.write("t", spark.range(50).withColumnRenamed("id", "v"))
+    final = store.path("t")
+    # simulate a kill between rename(final, old) and rename(tmp, final)
+    os.rename(final, final + "__old_deadbeef")
+    assert not os.path.exists(final)
+    assert store.exists("t")          # repair happened here
+    assert store.read("t").count() == 50
