@@ -175,6 +175,15 @@ def main() -> None:
         "clusters_sub", round(sub["sec"], 2))
 
     # ---- headline query sweep ----
+    # Drop the e2e leg's JVM residue first: three pipeline runs + the
+    # ladder leave cached relations and un-GC'd shuffle/broadcast heap
+    # that measurably drags the sweep (minhash twin 1.8 s fresh-session
+    # warm vs 2.8-6.8 s straight after the e2e leg; back to ~1.7 s
+    # after clearCache+gc). Session startup artifacts are excluded from
+    # the metric by design — so is cross-leg garbage.
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
     for rep in range(reps):
         for name in HEADLINE:
             t0 = time.time()
