@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.localrel import local_rows_df
+
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
@@ -1638,7 +1640,7 @@ def _threshold_calibration_spark(spark: SparkSession) -> DataFrame:
     t = calibrate_threshold(scored, score_col="score", quantile=0.6,
                             sample_frac=1.0, floor=0.2, ceil=0.9,
                             exact=True)
-    return spark.createDataFrame([(round(t, 6),)], "threshold double")
+    return local_rows_df(spark, [(round(t, 6),)], "threshold double")
 
 
 _fq("threshold_calibration", _threshold_calibration_spark, """
@@ -1709,7 +1711,7 @@ def _connectivity_validation_spark(spark: SparkSession) -> DataFrame:
                         .alias("clip_id"),
                         (F.col("doc_id") % 7).alias("cluster_id")))
     n = validate_connectivity(edges, clusters)
-    return spark.createDataFrame([(n,)], "violations bigint")
+    return local_rows_df(spark, [(n,)], "violations bigint")
 
 
 def _yeo_johnson_spark(spark: SparkSession) -> DataFrame:

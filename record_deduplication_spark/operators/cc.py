@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig, DEFAULT_CONFIG
+from ..functions.localrel import local_rows_df
 
 
 def _sym(e: DataFrame) -> DataFrame:
@@ -228,8 +229,8 @@ def assign_clusters(all_ids: DataFrame, components: DataFrame,
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+    off_df = local_rows_df(
+        spark, [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
         "pid int, offset long")
     comp_ids = (reps.withColumn(
         "rn", F.row_number().over(

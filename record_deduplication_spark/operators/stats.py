@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.localrel import local_rows_df
+
 
 def clustered(col: str = "cluster_id"):
     """Predicate: row belongs to a real cluster. Handles BOTH cluster-id
@@ -137,7 +139,7 @@ def map_distinct(df: DataFrame, col: str, fn, out_col: str | None = None) -> Dat
     spark = df.sparkSession
     vals = [r[0] for r in df.select(col).distinct().collect()]
     mapping = [(v, fn(v)) for v in vals]
-    mdf = spark.createDataFrame(mapping, f"{col} string, {out_col} string")
+    mdf = local_rows_df(spark, mapping, f"{col} string, {out_col} string")
     return df.join(F.broadcast(mdf), col, "left")
 
 

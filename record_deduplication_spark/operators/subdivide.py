@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig, DEFAULT_CONFIG
+from ..functions.localrel import local_rows_df
 from .cc import connected_components
 from .stats import clustered
 
@@ -409,8 +410,8 @@ def subdivide_adaptive(clusters: DataFrame, edges: DataFrame, max_size: int,
                 tgt = cur.where(in_keys)
                 rest = cur.where(~in_keys | F.col("cluster_key").isNull())
             else:
-                kdf = cur.sparkSession.createDataFrame(
-                    [(k,) for k in keys], "cluster_key string")
+                kdf = local_rows_df(cur.sparkSession,
+                                    [(k,) for k in keys], "cluster_key string")
                 tgt = cur.join(F.broadcast(kdf), "cluster_key", "leftsemi")
                 rest = cur.join(F.broadcast(kdf), "cluster_key", "left_anti")
             if strategy == "force":
@@ -434,8 +435,8 @@ def subdivide_adaptive(clusters: DataFrame, edges: DataFrame, max_size: int,
             if len(keys) <= 1000:
                 flt = cur.where(F.col("cluster_key").isin(list(keys)))
             else:
-                kdf = cur.sparkSession.createDataFrame(
-                    [(k,) for k in keys], "cluster_key string")
+                kdf = local_rows_df(cur.sparkSession,
+                                    [(k,) for k in keys], "cluster_key string")
                 flt = cur.join(F.broadcast(kdf), "cluster_key", "leftsemi")
             return {r.cluster_key for r in
                     (flt.groupBy("cluster_key")

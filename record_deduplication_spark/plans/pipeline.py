@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig, DEFAULT_CONFIG
+from ..functions.localrel import local_rows_df
 from ..operators import blocking as B
 from ..operators.cc import assign_clusters, connected_components
 from ..operators.signatures import add_signatures, migrate_signed
@@ -305,9 +306,9 @@ class DedupPipeline:
         t0 = time.time()
         labeled = heuristic_labels(feats, feature_cols=tuple(feature_cols))
         model = train_logistic(labeled, list(feature_cols))
-        mdf = self.spark.createDataFrame(model_to_rows(model),
-                                         "term string, value double")
-        self.store.write("model", mdf.coalesce(1))
+        mdf = local_rows_df(self.spark, model_to_rows(model),
+                            "term string, value double")
+        self.store.write("model", mdf)
         self.store.log(run_id, "model", t0, len(model["coef"]) + 1, 1)
         self.store.flush()
         return model

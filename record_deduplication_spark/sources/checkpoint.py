@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.localrel import local_rows_df
+
 METRICS_SCHEMA = T.StructType([
     T.StructField("run_id", T.LongType()),
     T.StructField("stage", T.StringType()),
@@ -274,16 +276,18 @@ class CheckpointStore:
             df.write.mode("append").parquet(self.path(name))
 
     def flush(self) -> None:
+        # local_rows_df, NOT createDataFrame(list).coalesce(1): the
+        # pickled-RDD route made each flush write pay ~32 sequential
+        # Python-worker handshakes (measured 4.5-9 s per table on
+        # local[32] — more than a whole pipeline stage at bench scale)
         if self._pending:
             rows, self._pending = self._pending, []
             self._flush_table(
-                "metrics",
-                self.spark.createDataFrame(rows, METRICS_SCHEMA).coalesce(1))
+                "metrics", local_rows_df(self.spark, rows, METRICS_SCHEMA))
         if self._pending_lineage:
             rows, self._pending_lineage = self._pending_lineage, []
             self._flush_table(
-                "lineage",
-                self.spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1))
+                "lineage", local_rows_df(self.spark, rows, LINEAGE_SCHEMA))
 
     def metrics(self) -> DataFrame:
         return self.read("metrics")

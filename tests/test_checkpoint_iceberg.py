@@ -188,8 +188,15 @@ def test_iceberg_partition_rows_reads_files_metadata(iceberg_store):
     assert sel and sel[0][2] == ("file_path", "record_count")
 
 
-def test_iceberg_flush_create_then_append(iceberg_store):
+def test_iceberg_flush_create_then_append(iceberg_store, monkeypatch):
     fake, store = iceberg_store
+    # flush builds its rows via local_rows_df (a real-plan local
+    # relation) — route it through the fake session's createDataFrame
+    # so this test keeps exercising only the create-vs-append logic
+    from record_deduplication_spark.sources import checkpoint as cp
+    monkeypatch.setattr(
+        cp, "local_rows_df",
+        lambda spark, rows, schema: spark.createDataFrame(list(rows), schema))
     store.log(run_id=1, stage="signed", ts_start=0.0, rows=10,
               n_partitions=2, extra="x")
     store.log_partitions(1, "signed", [(0, 4), (1, 6)])
