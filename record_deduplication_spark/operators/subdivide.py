@@ -145,6 +145,75 @@ def _merge_assign(assign: DataFrame, new: DataFrame) -> DataFrame:
                      .otherwise(F.col("cluster_key")).alias("cluster_key")))
 
 
+def _ladder_driver(assign: DataFrame, members: DataFrame, intra: DataFrame,
+                   thresholds: Iterable[float],
+                   singletons_to_noise: bool) -> DataFrame:
+    """Small-graph ladder: one collect, all rungs driver-side.
+
+    Semantics mirror the distributed loop exactly: per cluster, walk
+    the rungs in order; at each rung, union-find over the cluster's
+    edges with score >= t (root = lexicographic min clip_id, the same
+    canonical representative as operators/cc); accept the first rung
+    with >= 2 components. Members untouched at the accepted rung are
+    singletons (noise or parent key). Clusters no rung splits are
+    left out of the merge and keep their key."""
+    from collections import defaultdict
+
+    by_ck: dict[str, list] = defaultdict(list)
+    for ck, i1, i2, s in intra.collect():
+        by_ck[ck].append((i1, i2, s))
+
+    def find(parent: dict, x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    accepted_rows: list[tuple[str, str]] = []   # (clip_id, new_key)
+    accepted_keys: list[str] = []
+    for ck, es in by_ck.items():
+        for t in thresholds:
+            parent: dict[str, str] = {}
+            for i1, i2, s in es:
+                if s < t:
+                    continue
+                if i1 not in parent:
+                    parent[i1] = i1
+                if i2 not in parent:
+                    parent[i2] = i2
+                ra, rb = find(parent, i1), find(parent, i2)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            roots = {x: find(parent, x) for x in parent}
+            if len(set(roots.values())) >= 2:
+                accepted_keys.append(ck)
+                accepted_rows.extend(
+                    (cid, f"{ck}.{root}") for cid, root in roots.items())
+                break
+
+    if not accepted_keys:
+        return assign
+    spark = assign.sparkSession
+    # Arrow batch, not row pickling: vertices of accepted clusters can
+    # approach 2 x cc_driver_max_edges
+    comps = spark.createDataFrame(
+        pd.DataFrame(accepted_rows, columns=["clip_id", "new_key"]))
+    acc_keys = local_rows_df(spark, [(k,) for k in accepted_keys],
+                             "cluster_key string")
+    acc = (members.join(F.broadcast(acc_keys), "cluster_key", "leftsemi")
+           .join(comps, "clip_id", "left")
+           .select("clip_id",
+                   F.when(F.col("new_key").isNotNull(), F.col("new_key"))
+                    .otherwise(None if singletons_to_noise
+                               else F.col("cluster_key")).alias("new_key"),
+                   F.lit(True).alias("_sub")))
+    return _merge_assign(assign, acc.localCheckpoint(eager=True))
+
+
 def subdivide_ladder(clusters: DataFrame, edges: DataFrame, max_size: int,
                      thresholds: Iterable[float],
                      cfg: DedupConfig = DEFAULT_CONFIG,
@@ -165,7 +234,21 @@ def subdivide_ladder(clusters: DataFrame, edges: DataFrame, max_size: int,
 
     Returns the full assignment (clip_id, cluster_key); split members
     get "<parent>.<sub-representative>" keys. Clusters no rung can
-    split keep their key (caller falls through to KMeans/force)."""
+    split keep their key (caller falls through to KMeans/force).
+
+    Two execution regimes with identical output (pinned by
+    tests/test_subdivide.py::test_ladder_driver_matches_distributed):
+
+    * intra edge count <= cfg.cc_driver_max_edges: ONE collect of the
+      (already checkpointed) intra edge set and the whole rung ladder
+      runs driver-side — the same small-graph contract as
+      operators/cc._driver_union_find, which the distributed loop
+      would otherwise re-enter once per rung, re-collecting the SAME
+      edges every time (a ladder that never splits pays
+      len(thresholds) collects + checkpoints for one answer);
+    * larger: the original per-rung distributed loop (each rung one
+      CC job over the shared checkpoint — never a job per cluster).
+    """
     assign = _norm_assign(clusters, cluster_col)
     target = _oversized_keys(assign, max_size).localCheckpoint(eager=True)
     if target.isEmpty():
@@ -184,6 +267,10 @@ def subdivide_ladder(clusters: DataFrame, edges: DataFrame, max_size: int,
              .localCheckpoint(eager=True))  # reused by every rung
     members = (assign.join(target, "cluster_key", "leftsemi")
                .localCheckpoint(eager=True))
+
+    if intra.count() <= cfg.cc_driver_max_edges:
+        return _ladder_driver(assign, members, intra, thresholds,
+                              singletons_to_noise)
 
     remaining = target
     accepted = None

@@ -108,6 +108,51 @@ def test_subdivide_ladder_singletons_to_noise(spark):
     assert got2["m6"] == "A"
 
 
+def test_ladder_driver_matches_distributed(spark):
+    """The small-graph driver ladder (one collect, all rungs) must be
+    value-identical to the per-rung distributed loop — mixed scenario:
+    one cluster accepted at rung 1, one at rung 2, one unsplittable,
+    plus a noise singleton at the accepted rung."""
+    import dataclasses
+    from record_deduplication_spark.config import DEFAULT_CONFIG
+
+    rows = (
+        # A: two halves joined by one 0.8 edge -> survives rung 0.7,
+        # splits at rung 0.9
+        _chain_edges([f"a{i}" for i in range(8)], weak_at=(3,), weak=0.8)
+        # B: two triangles + weakly attached b6 -> splits at rung 1
+        + [("b0", "b1", .95), ("b1", "b2", .95), ("b3", "b4", .95),
+           ("b4", "b5", .95), ("b2", "b3", .5), ("b5", "b6", .5)]
+        # C: uniformly strong chain -> never splits
+        + _chain_edges([f"c{i}" for i in range(6)]))
+    edges = spark.createDataFrame(rows, "id_1 string, id_2 string, score double")
+    members = ([(f"a{i}", "A") for i in range(8)]
+               + [(f"b{i}", "B") for i in range(7)]
+               + [(f"c{i}", "C") for i in range(6)]
+               + [("s1", "S"), ("z", None)])
+    clusters = spark.createDataFrame(members,
+                                     "clip_id string, cluster_id string")
+    for noise in (True, False):
+        drv = subdivide_ladder(clusters, edges, max_size=4,
+                               thresholds=[0.7, 0.9],
+                               singletons_to_noise=noise).toPandas()
+        dist_cfg = dataclasses.replace(DEFAULT_CONFIG, cc_driver_max_edges=0)
+        dist = subdivide_ladder(clusters, edges, max_size=4,
+                                thresholds=[0.7, 0.9], cfg=dist_cfg,
+                                singletons_to_noise=noise).toPandas()
+        d = drv.sort_values("clip_id").reset_index(drop=True)
+        x = dist.sort_values("clip_id").reset_index(drop=True)
+        assert d.equals(x), f"driver != distributed (noise={noise})"
+        got = dict(zip(d["clip_id"], d["cluster_key"]))
+        assert {got[f"a{i}"] for i in range(4)} == {"A.a0"}
+        assert {got[f"a{i}"] for i in range(4, 8)} == {"A.a4"}
+        assert {got[f"b{i}"] for i in range(3)} == {"B.b0"}
+        assert {got[f"b{i}"] for i in range(3, 6)} == {"B.b3"}
+        assert got["b6"] == (None if noise else "B")
+        assert {got[f"c{i}"] for i in range(6)} == {"C"}
+        assert got["s1"] == "S" and got["z"] is None
+
+
 # ---------------------------------------------------------------- C10
 
 def test_subdivide_force_bounds_and_determinism(spark):
