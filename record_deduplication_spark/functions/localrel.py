@@ -43,7 +43,15 @@ def local_rows_df(spark: SparkSession, rows: Iterable[Sequence],
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     rows = [tuple(r) for r in rows]
-    if rows and len(rows) * len(schema.fields) > _LIT_VALUE_CAP:
+    n_fields = len(schema.fields)
+    for r in rows:
+        # fail fast like createDataFrame(rows, schema) would — the
+        # zip() below would otherwise silently TRUNCATE over-wide rows
+        if len(r) != n_fields:
+            raise ValueError(
+                f"local_rows_df: row has {len(r)} values, schema has "
+                f"{n_fields} fields: {r!r}")
+    if rows and len(rows) * n_fields > _LIT_VALUE_CAP:
         import pandas as pd
         pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields],
                            dtype=object)

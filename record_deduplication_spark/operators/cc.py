@@ -67,6 +67,34 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def uf_find(parent: dict, x: str) -> str:
+    """Path-compressed find. Root = lexicographic min member, the
+    engine-wide canonical component representative (see uf_union)."""
+    r = x
+    while parent[r] != r:
+        r = parent[r]
+    while parent[x] != r:  # path compression
+        parent[x], x = r, parent[x]
+    return r
+
+
+def uf_union(parent: dict, a: str, b: str) -> None:
+    """Union by lexicographic min: the smaller root wins, so the final
+    root of every component is its min member — the SAME canonical
+    representative the distributed star algorithm converges to. Shared
+    by the CC small-graph path and the subdivision driver ladder so
+    the two driver union-finds cannot drift apart."""
+    if a not in parent:
+        parent[a] = a
+    if b not in parent:
+        parent[b] = b
+    ra, rb = uf_find(parent, a), uf_find(parent, b)
+    if ra != rb:
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+
+
 def _driver_union_find(e: DataFrame) -> DataFrame:
     """Small-graph fast path: ONE collect + path-compressed union-find
     on the driver (literally the reference's G1 algorithm,
@@ -83,30 +111,15 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     spark = e.sparkSession
     parent: dict[str, str] = {}
 
-    def find(x: str) -> str:
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
     # one collect, one job (toLocalIterator would run one job per
     # partition — 32 scheduler round-trips for a table that fits in a
     # single driver batch by the cc_driver_max_edges contract)
     for src, dst in e.collect():
-        if src not in parent:
-            parent[src] = src
-        if dst not in parent:
-            parent[dst] = dst
-        ra, rb = find(src), find(dst)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
+        uf_union(parent, src, dst)
     import pandas as pd
     keys = list(parent)
-    pdf = pd.DataFrame({"clip_id": keys, "component": [find(x) for x in keys]})
+    pdf = pd.DataFrame({"clip_id": keys,
+                        "component": [uf_find(parent, x) for x in keys]})
     # Arrow-path createDataFrame: the plain-list overload pickles row by
     # row through py4j (seconds for ~10^5 rows); the pandas overload
     # ships one Arrow batch.

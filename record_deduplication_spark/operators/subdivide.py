@@ -152,24 +152,26 @@ def _ladder_driver(assign: DataFrame, members: DataFrame, intra: DataFrame,
 
     Semantics mirror the distributed loop exactly: per cluster, walk
     the rungs in order; at each rung, union-find over the cluster's
-    edges with score >= t (root = lexicographic min clip_id, the same
-    canonical representative as operators/cc); accept the first rung
-    with >= 2 components. Members untouched at the accepted rung are
-    singletons (noise or parent key). Clusters no rung splits are
-    left out of the merge and keep their key."""
+    edges with score >= t (root = lexicographic min clip_id via the
+    SHARED operators/cc uf helpers); accept the first rung with >= 2
+    components. NULL-score and self-loop edges are dropped, exactly as
+    the distributed regime's `_score >= t` filter and cc's
+    `src != dst` filter drop them. Members untouched at the accepted
+    rung are singletons (noise or parent key). Clusters no rung splits
+    are left out of the merge and keep their key."""
     from collections import defaultdict
 
+    from .cc import uf_find, uf_union
+
+    thresholds = list(thresholds)  # re-walked once PER CLUSTER: a
+    # one-shot iterable would silently give every cluster after the
+    # first zero rungs
     by_ck: dict[str, list] = defaultdict(list)
     for ck, i1, i2, s in intra.collect():
-        by_ck[ck].append((i1, i2, s))
-
-    def find(parent: dict, x: str) -> str:
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
+        # NULL score: `_score >= t` is NULL -> dropped distributed;
+        # self-loop: dropped by cc's src != dst — match both here
+        if s is not None and i1 != i2:
+            by_ck[ck].append((i1, i2, s))
 
     accepted_rows: list[tuple[str, str]] = []   # (clip_id, new_key)
     accepted_keys: list[str] = []
@@ -177,18 +179,9 @@ def _ladder_driver(assign: DataFrame, members: DataFrame, intra: DataFrame,
         for t in thresholds:
             parent: dict[str, str] = {}
             for i1, i2, s in es:
-                if s < t:
-                    continue
-                if i1 not in parent:
-                    parent[i1] = i1
-                if i2 not in parent:
-                    parent[i2] = i2
-                ra, rb = find(parent, i1), find(parent, i2)
-                if ra != rb:
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-            roots = {x: find(parent, x) for x in parent}
+                if s >= t:
+                    uf_union(parent, i1, i2)
+            roots = {x: uf_find(parent, x) for x in parent}
             if len(set(roots.values())) >= 2:
                 accepted_keys.append(ck)
                 accepted_rows.extend(
@@ -198,10 +191,13 @@ def _ladder_driver(assign: DataFrame, members: DataFrame, intra: DataFrame,
     if not accepted_keys:
         return assign
     spark = assign.sparkSession
-    # Arrow batch, not row pickling: vertices of accepted clusters can
-    # approach 2 x cc_driver_max_edges
+    # Arrow overload with an explicit schema, NOT local_rows_df:
+    # vertices of accepted clusters can approach 2 x
+    # cc_driver_max_edges, and local_rows_df's single-partition output
+    # would bottleneck the member join at that top end
     comps = spark.createDataFrame(
-        pd.DataFrame(accepted_rows, columns=["clip_id", "new_key"]))
+        pd.DataFrame(accepted_rows, columns=["clip_id", "new_key"]),
+        "clip_id string, new_key string")
     acc_keys = local_rows_df(spark, [(k,) for k in accepted_keys],
                              "cluster_key string")
     acc = (members.join(F.broadcast(acc_keys), "cluster_key", "leftsemi")

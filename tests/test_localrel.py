@@ -27,9 +27,15 @@ def test_basic_rows_schema_and_values(spark):
 def test_empty_rows_keeps_schema(spark):
     df = local_rows_df(spark, [], METRICS_SCHEMA)
     assert df.count() == 0
-    assert df.schema == METRICS_SCHEMA or (
-        [f.name for f in df.schema.fields]
-        == [f.name for f in METRICS_SCHEMA.fields])
+    # names AND datatypes must survive the empty path: an empty flush
+    # appended with a degenerate schema corrupts the metrics table
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in METRICS_SCHEMA.fields]
+
+
+def test_over_wide_rows_rejected(spark):
+    with pytest.raises(ValueError, match="3 values"):
+        local_rows_df(spark, [(1, "a", "oops")], "id int, s string")
 
 
 def test_metrics_shaped_rows_roundtrip(spark, tmp_path):
@@ -51,8 +57,8 @@ def test_arrow_fallback_past_literal_cap(spark):
     df = local_rows_df(spark, rows, "id int, s string")
     assert df.count() == n
     assert df.rdd.getNumPartitions() == 1
-    got = {(r.id, r.s) for r in df.sample(0.01).collect()}
-    assert got <= set(rows)
+    got = sorted((r.id, r.s) for r in df.where("id < 32").collect())
+    assert got == rows[:32]
 
 
 def test_all_none_column(spark):

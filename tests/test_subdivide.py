@@ -124,7 +124,12 @@ def test_ladder_driver_matches_distributed(spark):
         + [("b0", "b1", .95), ("b1", "b2", .95), ("b3", "b4", .95),
            ("b4", "b5", .95), ("b2", "b3", .5), ("b5", "b6", .5)]
         # C: uniformly strong chain -> never splits
-        + _chain_edges([f"c{i}" for i in range(6)]))
+        + _chain_edges([f"c{i}" for i in range(6)])
+        # degenerate edges BOTH regimes must drop identically: a
+        # NULL score (distributed: `_score >= t` is NULL) and a
+        # self-loop (distributed: cc filters src != dst) — without the
+        # driver-side guards these would crash / flip C's verdict
+        + [("c0", "c5", None), ("c2", "c2", .99)])
     edges = spark.createDataFrame(rows, "id_1 string, id_2 string, score double")
     members = ([(f"a{i}", "A") for i in range(8)]
                + [(f"b{i}", "B") for i in range(7)]
@@ -133,8 +138,10 @@ def test_ladder_driver_matches_distributed(spark):
     clusters = spark.createDataFrame(members,
                                      "clip_id string, cluster_id string")
     for noise in (True, False):
+        # thresholds as a GENERATOR: the driver path walks rungs once
+        # per cluster and must not exhaust a one-shot iterable
         drv = subdivide_ladder(clusters, edges, max_size=4,
-                               thresholds=[0.7, 0.9],
+                               thresholds=(t for t in [0.7, 0.9]),
                                singletons_to_noise=noise).toPandas()
         dist_cfg = dataclasses.replace(DEFAULT_CONFIG, cc_driver_max_edges=0)
         dist = subdivide_ladder(clusters, edges, max_size=4,
