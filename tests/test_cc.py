@@ -122,3 +122,25 @@ def test_cc_raises_on_nonconvergence(spark):
     cfg = replace(DEFAULT_CONFIG, cc_driver_max_edges=0, cc_max_iters=1)
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, cfg)
+
+
+def test_uf_helpers_min_root_and_path_compression():
+    """The shared union-find (used by BOTH the CC small-graph path and
+    the subdivision driver ladder) must keep the engine-wide canonical
+    representative: root = lexicographic min member."""
+    from record_deduplication_spark.operators.cc import uf_find, uf_union
+
+    parent = {}
+    uf_union(parent, "c", "b")
+    uf_union(parent, "d", "e")
+    uf_union(parent, "b", "e")      # merges both chains
+    uf_union(parent, "z", "a")      # separate pair, min root "a"
+    roots = {x: uf_find(parent, x) for x in parent}
+    assert {roots[x] for x in "bcde"} == {"b"}
+    assert roots["z"] == roots["a"] == "a"
+    # path compression: every member points straight at its root
+    for x in "bcde":
+        assert parent[x] == "b"
+    # self-union is a no-op, never corrupts the forest
+    uf_union(parent, "b", "b")
+    assert uf_find(parent, "e") == "b"
