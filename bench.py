@@ -27,7 +27,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 HEADLINE = [
-    "minhash_lsh_pairs",
+    "minhash_lsh_pairs",  # extra reps: see _EXTRA_REPS
     "shingle_jaccard_pairs",
     "substring_run_pairs",
     "simhash_fingerprints",
@@ -43,6 +43,49 @@ HEADLINE = [
     "semantic_dedup_cells",
     "repetition_stats",
 ]
+
+# Known-noisy twins get extra reps beyond the sweep default (VERDICT r4
+# #1: minhash_lsh_pairs recorded 1.40 s in r3 and 4.24 s in r4 at
+# reps=2 — the engine path was fine both rounds; the host's 1.5-3x
+# congestion swings simply defined the number. More reps + the per-rep
+# list make a congested window visible instead of authoritative.)
+_EXTRA_REPS = {"minhash_lsh_pairs": 5, "shingle_jaccard_pairs": 4}
+
+
+class _NoiseProbe:
+    """Background 1-thread numpy probe sampling host contention during
+    the timed region (same op as the scaling children's probe: this
+    sandbox is a time-shared VM and the identical probe op measures
+    35-80+ ms depending on co-tenant load). Recorded per-phase so a
+    noise-poisoned sweep is visible in the artifact itself."""
+
+    def __init__(self) -> None:
+        import threading
+        self._samples: list[float] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        import numpy as np
+        x = np.arange(3_000_000, dtype=np.float64)
+        while not self._stop.is_set():
+            t0 = time.time()
+            np.sin(x).sum()
+            self._samples.append(time.time() - t0)
+            self._stop.wait(1.5)
+
+    def start(self) -> "_NoiseProbe":
+        self._thread.start()
+        return self
+
+    def stop(self) -> dict:
+        self._stop.set()
+        s = sorted(self._samples)
+        if not s:
+            return {"p50_s": None, "p90_s": None, "n": 0}
+        return {"p50_s": round(s[len(s) // 2], 4),
+                "p90_s": round(s[(len(s) * 9) // 10], 4),
+                "n": len(s)}
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -139,6 +182,8 @@ def main() -> None:
     import tempfile
     corpus = _corpus_dir(n_clips)
     stage_best: dict[str, float] = {}
+    reps_log: dict[str, list[float]] = {}  # per-rep transparency (r4 #1)
+    probe_e2e = _NoiseProbe().start()
     last_wd = None
     # the e2e is THE headline number: best-of-3 (vs 2 for the query
     # sweep) so one congested minute on this time-shared host cannot
@@ -155,6 +200,7 @@ def main() -> None:
         for st, sec in e2e["stages"].items():
             stage_best[st] = min(stage_best.get(st, sec), sec)
         sec3 = round(e2e["sec"], 3)
+        reps_log.setdefault("clips_dedup_e2e", []).append(sec3)
         timings["clips_dedup_e2e"] = min(
             timings.get("clips_dedup_e2e", sec3), sec3)
         if last_wd is not None:
@@ -171,8 +217,10 @@ def main() -> None:
     finally:
         shutil.rmtree(last_wd, ignore_errors=True)
     timings["clips_dedup_subdivide_ladder"] = round(sub["sec"], 3)
+    reps_log["clips_dedup_subdivide_ladder"] = [round(sub["sec"], 3)]
     stage_best["clusters_sub"] = sub["stages"].get(
         "clusters_sub", round(sub["sec"], 2))
+    noise_e2e = probe_e2e.stop()
 
     # ---- headline query sweep ----
     # Drop the e2e leg's JVM residue first: three pipeline runs + the
@@ -184,8 +232,12 @@ def main() -> None:
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
     time.sleep(2)
-    for rep in range(reps):
+    probe_sweep = _NoiseProbe().start()
+    max_reps = max([reps, *(_EXTRA_REPS.values())])
+    for rep in range(max_reps):
         for name in HEADLINE:
+            if rep >= max(reps, _EXTRA_REPS.get(name, 0)):
+                continue
             t0 = time.time()
             # dispatch SQL-paired AND engine-fn gates directly —
             # NOT via G.run_spark, whose unconditional register_views
@@ -197,7 +249,9 @@ def main() -> None:
             else:
                 spark.sql(G.PAIRED_SQL[name][0]).collect()
             dt = round(time.time() - t0, 3)
+            reps_log.setdefault(name, []).append(dt)
             timings[name] = min(timings.get(name, dt), dt)
+    noise_sweep = probe_sweep.stop()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -216,6 +270,15 @@ def main() -> None:
         "dedup_stages": stage_best,
         "cpus": int(cpus),
         "reps": reps,
+        "extra_reps": _EXTRA_REPS,
+        # per-rep values in execution order + the host-contention probe
+        # per phase: a congested window is visible, not authoritative
+        # (VERDICT r4 #1 — the minhash twin's recorded 1.40->4.24 s
+        # swing was host noise, invisible at reps=2 best-of)
+        "queries_reps": reps_log,
+        "host_noise_probe": {"e2e_leg": noise_e2e,
+                             "query_sweep": noise_sweep,
+                             "op": "np.sin(3M float64).sum(), 1 thread"},
         "aggregation": ("best-of-reps per query; e2e reps run FIRST in "
                         "a fresh-session JVM, before the query sweep"),
         "renames": {"clips_dedup_subdivided_e2e":
