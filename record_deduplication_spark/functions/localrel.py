@@ -31,6 +31,45 @@ from pyspark.sql import types as T
 # is faster and keeps the plan small.
 _LIT_VALUE_CAP = 2048
 
+# value-type acceptance per Spark type class: the cast(ArrayType) below
+# silently COERCES what createDataFrame(rows, schema) would reject
+# (float truncated into LongType, swapped columns with castable types)
+# — so a caller bug would write corrupted metrics/model rows instead of
+# failing fast on the driver (ADVICE r4). bool is excluded from the
+# integral types (Python bool subclasses int).
+_ACCEPT: list[tuple[type, tuple[type, ...]]] = [
+    (T.StringType, (str,)),
+    (T.BooleanType, (bool,)),
+    (T.IntegralType, (int,)),
+    (T.FractionalType, (int, float)),  # int widens exactly at our scales
+]
+
+
+def _check_value(v, dt: T.DataType, field: str) -> None:
+    if v is None:
+        return
+    if isinstance(dt, T.ArrayType):
+        if not isinstance(v, (list, tuple)):
+            raise TypeError(
+                f"local_rows_df: field {field!r} expects a sequence for "
+                f"{dt.simpleString()}, got {type(v).__name__}: {v!r}")
+        for e in v:
+            _check_value(e, dt.elementType, field)
+        return
+    for spark_t, py_ts in _ACCEPT:
+        if isinstance(dt, spark_t):
+            if not isinstance(v, py_ts) or (
+                    isinstance(v, bool) and bool not in py_ts):
+                raise TypeError(
+                    f"local_rows_df: field {field!r} expects "
+                    f"{dt.simpleString()}, got {type(v).__name__}: {v!r}")
+            return
+    # other types (timestamp, binary, ...) pass through unchecked —
+    # nothing in this repo routes them here
+
+
+_warned_no_arrow = False
+
 
 def local_rows_df(spark: SparkSession, rows: Iterable[Sequence],
                   schema: T.StructType | str) -> DataFrame:
@@ -39,6 +78,9 @@ def local_rows_df(spark: SparkSession, rows: Iterable[Sequence],
     ``schema`` is a StructType or DDL string; scalar and array-typed
     fields are supported (lit() builds nested array literals too).
     ``rows`` may be empty; ``None`` values are preserved as SQL NULLs.
+    Values are pre-validated against the schema (width AND type) so a
+    caller bug fails fast on the driver instead of being silently
+    coerced by the array cast.
     """
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
@@ -51,8 +93,27 @@ def local_rows_df(spark: SparkSession, rows: Iterable[Sequence],
             raise ValueError(
                 f"local_rows_df: row has {len(r)} values, schema has "
                 f"{n_fields} fields: {r!r}")
+        for v, f in zip(r, schema.fields):
+            _check_value(v, f.dataType, f.name)
     if rows and len(rows) * n_fields > _LIT_VALUE_CAP:
         import pandas as pd
+        # the Arrow overload needs arrow.pyspark.enabled (session.py
+        # sets it); without it createDataFrame(pandas) silently falls
+        # back to the pickled-RDD path — exactly the sequential
+        # Python-worker tax this module exists to avoid. Warn once
+        # (perf only, correctness unaffected) — ADVICE r4.
+        global _warned_no_arrow
+        if not _warned_no_arrow and spark.conf.get(
+                "spark.sql.execution.arrow.pyspark.enabled",
+                "false").lower() != "true":
+            import warnings
+            warnings.warn(
+                "local_rows_df: spark.sql.execution.arrow.pyspark.enabled "
+                "is off — large driver-row tables will take the slow "
+                "pickled-RDD path (build the session via "
+                "record_deduplication_spark.session.build_session)",
+                RuntimeWarning, stacklevel=2)
+            _warned_no_arrow = True
         pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields],
                            dtype=object)
         # Arrow path: batches are built driver-side and handed to the

@@ -209,6 +209,86 @@ def incremental_candidates(new_signed: DataFrame, old_signed: DataFrame,
     return _sources_agg(touch_1.unionByName(touch_2))
 
 
+def incremental_candidates_strict(new_signed: DataFrame,
+                                  old_signed: DataFrame,
+                                  stored_candidates: DataFrame,
+                                  cfg: DedupConfig) -> DataFrame:
+    """STRICT incremental fold: the full corrected candidate table,
+    pair-for-pair equal to `generate_candidates(old + new)`.
+
+    The default `incremental_candidates` documents a caveat: a block
+    that crosses the `max_block_full_pairs` tier boundary (or changes
+    its salt count) when the batch lands pairs its old x old members
+    differently than a from-scratch run would — chain redundancy, not
+    recall (connectivity is invariant), so the default skips the
+    O(touched-block^2) re-pairing. This opt-in audit mode closes the
+    gap exactly, by replacing the pairs of every ACTIVE block (any
+    block the new batch touches) with a fresh pairing of its combined
+    members:
+
+      corrected = (stored \\ old-pairs-of-active-blocks)
+                  ∪ pairs(active blocks, combined members)
+
+    per (id_1, id_2, source) triple, then re-aggregated to the source
+    bitset. Equality holds because pairing is deterministic PER BLOCK
+    (pairs_within_blocks keys everything by (source, bkey)): untouched
+    blocks keep their stored pairs verbatim; active blocks are re-paired
+    exactly as the from-scratch run pairs them — tier/salt structure
+    included. Cost: O(|active-block members|) extra pair generation and
+    the re-verification of re-structured pairs downstream — use for
+    audits, not the daily path.
+
+    Precondition (inductive): `stored_candidates` equals a from-scratch
+    pairing of `old_signed` — true after the initial run and preserved
+    by strict folds; a prior NON-strict fold may have left the caveat
+    pairs in place, in which case this mode restores exact equality
+    going forward but does not retroactively repair them.
+    """
+    mn = block_members(new_signed, cfg)
+    mo = block_members(old_signed, cfg).localCheckpoint(eager=True)
+    active = mn.select("source", "bkey").distinct()
+    # every old member of an active block (leftsemi keeps all members,
+    # so per-block sizes computed inside pairs_within_blocks equal the
+    # prior run's sizes for these keys)
+    mo_active = mo.join(active, ["source", "bkey"], "leftsemi") \
+                  .localCheckpoint(eager=True)
+    cols = ["id_1", "id_2", "source"]
+    old_active = pairs_within_blocks(mo_active, cfg,
+                                     materialize=False).select(cols) \
+                                                       .localCheckpoint(eager=True)
+    combined = pairs_within_blocks(mn.unionByName(mo_active), cfg) \
+        .select(cols).localCheckpoint(eager=True)
+
+    # Recovery set: a triple emitted by BOTH an active block (under its
+    # old structure) and an inactive block would be lost by the
+    # subtract below — the inactive block still owns it from scratch,
+    # but only active blocks get re-paired. Re-pair exactly the
+    # inactive blocks that contain both members of a potentially-lost
+    # pair (pairs_within_blocks is per-block deterministic and these
+    # blocks' membership is unchanged, so their fresh pairing is a
+    # subset of the from-scratch pair set — safe to union in full).
+    maybe_lost = old_active.subtract(combined)
+    mo_inact = mo.join(active, ["source", "bkey"], "left_anti")
+    lost_keys = (maybe_lost
+                 .join(mo_inact.select(F.col("clip_id").alias("id_1"),
+                                       "source", "bkey"), ["id_1", "source"])
+                 .join(mo_inact.select(F.col("clip_id").alias("id_2"),
+                                       "source", "bkey"),
+                       ["id_2", "source", "bkey"], "leftsemi")
+                 .select("source", "bkey").distinct())
+    recovered = pairs_within_blocks(
+        mo_inact.join(lost_keys, ["source", "bkey"], "leftsemi"),
+        cfg, materialize=False).select(cols)
+
+    stored_trips = stored_candidates.select(
+        "id_1", "id_2", F.explode("sources").alias("source"))
+    corrected = (stored_trips
+                 .subtract(old_active)
+                 .unionByName(combined)
+                 .unionByName(recovered))
+    return _sources_agg(corrected)
+
+
 # bit per family, in this order: sources bit i <=> _SRC_ORDER[i]
 _SRC_ORDER = ("exact", "lsh", "simhash", "substring")
 

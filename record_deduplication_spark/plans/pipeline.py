@@ -150,7 +150,8 @@ class DedupPipeline:
                               subdivided=subdivided)
 
     def run_incremental(self, new_clips: DataFrame,
-                        all_clips: DataFrame) -> PipelineResult:
+                        all_clips: DataFrame,
+                        strict: bool = False) -> PipelineResult:
         """Daily-ingest shape: fold a NEW batch into a completed run
         without re-pairing old x old (at 10^12 rows a full re-run
         re-verifies every pair the previous run already owns).
@@ -189,9 +190,18 @@ class DedupPipeline:
         the from-scratch run wherever verification is transitive on
         same-block dups (exact/SNR criteria: always; borderline
         Jaccard chains can in principle split differently). For
-        hard-equality audits, re-pair blocks whose tier or n_salts
-        changed instead of folding (not the default: it re-verifies
-        O(touched-block^2) old pairs for no recall gain).
+        hard-equality audits, pass `strict=True` (not the default: it
+        re-pairs and re-verifies O(touched-block^2) old pairs for no
+        recall gain).
+
+        `strict=True` (VERDICT r4 #4) is the re-pair-of-changed-blocks
+        audit mode: every block the batch touches is re-paired over its
+        COMBINED members (operators/blocking.incremental_candidates_strict),
+        pairs whose (id_1, id_2, sources) row changed are re-verified,
+        and the candidates/edges tables are atomically REWRITTEN — the
+        folded state is pair-for-pair equal to a from-scratch run on
+        the combined corpus (tested in tests/test_pipeline_e2e.py with
+        a planted tier-crossing block).
 
         Precondition: `new_clips` ids are NEW (not re-ingests of
         existing clip_ids) — dedup of the id space itself belongs to
@@ -210,6 +220,10 @@ class DedupPipeline:
         n_new = signed_new.count()
         self.store.log(run_id, "signed_inc", t0, n_new,
                        signed_new.rdd.getNumPartitions())
+
+        if strict:
+            return self._fold_strict(signed_new, signed_old, all_clips,
+                                     run_id, n_new)
 
         t0 = time.time()
         cands_new = B.incremental_candidates(signed_new, signed_old, cfg) \
@@ -249,6 +263,72 @@ class DedupPipeline:
             "n_candidates": sum(
                 n for _, n in self.store.partition_rows("candidates")),
             "n_new_candidates": n_cands_new,
+            "n_edges": n_edges,
+            "n_clusters": clusters.where(clustered())
+                                  .select("cluster_id").distinct().count(),
+        }
+        self.store.log(run_id, "pipeline_done", time.time(), n_clips, 0,
+                       **stats)
+        self.store.flush()
+        return PipelineResult(clusters=clusters, edges=edges_all,
+                              candidates=cands_all, stats=stats)
+
+    def _fold_strict(self, signed_new: DataFrame, signed_old: DataFrame,
+                     all_clips: DataFrame, run_id: int,
+                     n_new: int) -> PipelineResult:
+        """Strict branch of run_incremental: exact-equality fold.
+
+        Kept-pair edges are carried over only where the pair's
+        (id_1, id_2, sources) row is unchanged (verification is
+        deterministic per pair given the same routing, so the stored
+        verdict is the verdict a from-scratch run computes); changed or
+        new rows are re-verified fresh. The corrected candidates/edges
+        tables are committed via CheckpointStore.rewrite (crash-safe
+        swap), after eager materialization so the rewrite never reads
+        the files it replaces."""
+        cfg = self.cfg
+        t0 = time.time()
+        cands_full = B.incremental_candidates_strict(
+            signed_new, signed_old, self.store.read("candidates"),
+            cfg).localCheckpoint(eager=True)
+        n_cands = cands_full.count()
+        stored = self.store.read("candidates")
+        unchanged = cands_full.join(stored, ["id_1", "id_2", "sources"],
+                                    "leftsemi").localCheckpoint(eager=True)
+        to_verify = cands_full.join(unchanged.select("id_1", "id_2"),
+                                    ["id_1", "id_2"], "left_anti")
+        n_reverify = n_cands - unchanged.count()
+        self.store.log(run_id, "candidates_strict", t0, n_cands, 0,
+                       n_reverify=n_reverify)
+
+        t0 = time.time()
+        edges_keep = self.store.read("edges").join(
+            unchanged.select("id_1", "id_2"), ["id_1", "id_2"], "leftsemi")
+        edges_fresh = build_edges(to_verify,
+                                  signed_old.unionByName(signed_new),
+                                  all_clips, cfg)
+        edges_full = edges_keep.unionByName(edges_fresh) \
+                               .localCheckpoint(eager=True)
+        n_edges = edges_full.count()
+        self.store.log(run_id, "edges_strict", t0, n_edges, 0)
+
+        signed_all = self.store.append("signed", signed_new)
+        cands_all = self.store.rewrite("candidates", cands_full)
+        edges_all = self.store.rewrite("edges", edges_full)
+        t0 = time.time()
+        clusters = self.store.write(
+            "clusters",
+            assign_clusters(signed_all.select("clip_id"),
+                            connected_components(
+                                edges_all.select("id_1", "id_2"), cfg),
+                            cfg))
+        n_clips = sum(n for _, n in self.store.partition_rows("signed"))
+        self.store.log(run_id, "clusters_inc", t0, n_clips, 0)
+        stats = {
+            "n_clips": n_clips,
+            "n_new_clips": n_new,
+            "n_candidates": n_cands,
+            "n_reverified_pairs": n_reverify,
             "n_edges": n_edges,
             "n_clusters": clusters.where(clustered())
                                   .select("cluster_id").distinct().count(),

@@ -101,6 +101,7 @@ class CheckpointStore:
         if self.use_iceberg:
             return self.spark.catalog.tableExists(self.path(stage))
         self._repair_interrupted_rewrite(stage)
+        self._repair_unmanifested_appends(stage)
         return os.path.exists(os.path.join(self.path(stage), "_SUCCESS"))
 
     def write(self, stage: str, df: DataFrame) -> DataFrame:
@@ -169,18 +170,19 @@ class CheckpointStore:
         rewrite of the signed/edge tables would be O(|corpus|) per
         batch). Iceberg mode is a snapshot append (atomic commit).
 
-        Parquet mode stages the new part files in a sibling directory
-        and only then MOVES them into the committed stage dir: a
-        `mode('append')` straight into the stage dir would leave
-        partial rows committed if the batch job dies mid-write,
-        corrupting the state the next incremental run folds into
-        (ADVICE r3). The residual window is the rename loop itself —
-        microseconds of `os.rename` on one filesystem vs minutes of
-        job — and a crash inside it leaves whole readable part files,
-        never a torn one; Iceberg mode is the fully atomic path.
-        Columns are aligned to the existing table's order first, since
-        the parquet reader merges files by name only when schemas
-        agree."""
+        Parquet mode is ATOMIC via a commit marker (VERDICT r4 #6): the
+        new part files are staged in a sibling directory, MOVED into
+        the stage dir under batch-tagged names, and the batch tag is
+        recorded in the stage's `_appends.json` manifest LAST (tmp
+        write + one rename — atomic on POSIX). A crash anywhere before
+        the manifest rename leaves batch files whose tag is not in the
+        manifest; `_repair_unmanifested_appends` (run by exists() /
+        partition_rows() / the next append) deletes them, so a torn
+        batch is all-or-nothing: either the manifest commit happened
+        and every file of the batch is live, or the whole batch
+        vanishes and the caller re-folds it. Columns are aligned to the
+        existing table's order first, since the parquet reader merges
+        files by name only when schemas agree."""
         existing = self.read(stage)
         df = df.select(*existing.columns)
         if self.use_iceberg:
@@ -189,16 +191,62 @@ class CheckpointStore:
         import glob
         import shutil
         import uuid
-        staging = os.path.join(self.base,
-                               f".{stage}__append_{uuid.uuid4().hex[:12]}")
+        self._repair_unmanifested_appends(stage)
+        tag = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.base, f".{stage}__append_{tag}")
         try:
             df.write.mode("overwrite").parquet(staging)
-            for p in glob.glob(os.path.join(staging, "part-*.parquet")):
-                os.rename(p, os.path.join(self.path(stage),
-                                          os.path.basename(p)))
+            names = []
+            for i, p in enumerate(sorted(
+                    glob.glob(os.path.join(staging, "part-*.parquet")))):
+                nm = f"part-app-{tag}-{i:05d}.parquet"
+                os.rename(p, os.path.join(self.path(stage), nm))
+                names.append(nm)
+            self._commit_append(stage, tag, names)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return self.read(stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.path(stage), "_appends.json")
+
+    def _append_manifest(self, stage: str) -> dict:
+        p = self._manifest_path(stage)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    def _commit_append(self, stage: str, tag: str, names: list[str]) -> None:
+        """The commit point: one rename makes the batch durable."""
+        man = self._append_manifest(stage)
+        man[tag] = names
+        tmp = self._manifest_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.rename(tmp, self._manifest_path(stage))
+
+    def _repair_unmanifested_appends(self, stage: str) -> None:
+        """Delete append-batch part files whose tag never reached the
+        manifest (a crash between the move loop and _commit_append),
+        plus stale staging dirs: the resume contract reads only
+        committed batches. Underscore-prefixed manifest files are
+        invisible to Spark's parquet reader, so live reads are never
+        affected by the manifest's existence."""
+        import glob
+        import re
+        import shutil
+        d = self.path(stage)
+        if not os.path.isdir(d):
+            return
+        man = self._append_manifest(stage)
+        pat = re.compile(r"^part-app-([0-9a-f]{12})-\d{5}\.parquet$")
+        for f in os.listdir(d):
+            m = pat.match(f)
+            if m and m.group(1) not in man:
+                os.remove(os.path.join(d, f))
+        for s in glob.glob(os.path.join(self.base, f".{stage}__append_*")):
+            shutil.rmtree(s, ignore_errors=True)
 
     def read(self, stage: str) -> DataFrame:
         if self.use_iceberg:
@@ -254,6 +302,7 @@ class CheckpointStore:
                     .orderBy("file_path").collect())
             return [(i, int(r.record_count)) for i, r in enumerate(rows)]
         import pyarrow.parquet as pq
+        self._repair_unmanifested_appends(stage)
         d = self.path(stage)
         files = sorted(f for f in os.listdir(d)
                        if f.startswith("part-") and f.endswith(".parquet"))

@@ -71,3 +71,27 @@ def test_array_typed_field(spark):
                        T.StructType([T.StructField(
                            "a", T.ArrayType(T.LongType()))]))
     assert [r.a for r in df.collect()] == [[1, 2], [3]]
+
+
+def test_type_mismatch_fails_fast(spark):
+    """ADVICE r4: the array-literal cast silently coerces what
+    createDataFrame(rows, schema) rejects — swapped columns with
+    castable types, float truncated into a long. Both must now fail on
+    the driver before anything is written."""
+    # float into LongType (would truncate)
+    with pytest.raises(TypeError, match="expects bigint"):
+        local_rows_df(spark, [(1.5, "a")], "id bigint, s string")
+    # swapped columns with castable types
+    with pytest.raises(TypeError, match="expects string|expects bigint"):
+        local_rows_df(spark, [("a", 1)], "id bigint, s string")
+    # bool into an integral field (Python bool subclasses int)
+    with pytest.raises(TypeError, match="expects bigint"):
+        local_rows_df(spark, [(True, "a")], "id bigint, s string")
+    # array element type checked too
+    with pytest.raises(TypeError, match="expects bigint"):
+        local_rows_df(spark, [(["x"],)],
+                      T.StructType([T.StructField(
+                          "a", T.ArrayType(T.LongType()))]))
+    # int into double is fine (exact widening); None always fine
+    df = local_rows_df(spark, [(1, None)], "x double, s string")
+    assert df.collect()[0] == (1.0, None)
