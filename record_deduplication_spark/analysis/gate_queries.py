@@ -987,38 +987,6 @@ FROM customer
     return (raw.withColumn("id_long", coerce_digit_id("id_raw"))
             .orderBy("c_custkey"))
 
-# ---- embedding-cosine near-dup pairs (label-blocked self-join; the
-#      threshold-pair complement of cosine_topk) ----
-_q("embedding_near_dup_pairs",
-   """
-WITH p AS (
-  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
-         round(
-           aggregate(zip_with(a.embedding, b.embedding,
-                              (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                     CAST(0 AS DOUBLE), (acc, v) -> acc + v)
-           / (sqrt(aggregate(transform(a.embedding,
-                                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                             CAST(0 AS DOUBLE), (acc, v) -> acc + v))
-              * sqrt(aggregate(transform(b.embedding,
-                                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                               CAST(0 AS DOUBLE), (acc, v) -> acc + v))), 4) AS cos_sim
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
-)
-SELECT id_1, id_2, cos_sim FROM p WHERE cos_sim >= 0.35 ORDER BY id_1, id_2
-""",
-   """
-WITH p AS (
-  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
-         round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                      b.embedding::DOUBLE[]), 4) AS cos_sim
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
-)
-SELECT id_1, id_2, cos_sim FROM p WHERE cos_sim >= 0.35 ORDER BY id_1, id_2
-""")
-
 # ---- set ops: UNION-distinct + EXCEPT + INTERSECT (B5 pair-set union
 #      analog + the two ops the reference lacks, SURVEY.md §2.9; merged
 #      r4 from union_distinct_keys + except_intersect_keys) ----
@@ -1981,6 +1949,100 @@ SELECT n_pairs_ref, n_pairs_test, n_pairs_both, precision, recall,
        round(2 * precision * recall /
              greatest(precision + recall, 1e-12), 6) AS f1
 FROM m
+""")
+
+
+# ---- embedding-cosine near-dup pairs (label-blocked all-pairs; the
+#      threshold-pair complement of cosine_topk) ----
+# Spark side: applyInPandas Gram-tile matmul over (label, bucket-pair)
+# groups. Three sf1-scale lessons (20k vecs / 20M in-label pairs; the
+# sf0.01 driver scale hid all of them):
+# 1. `label` has ~10 values, so a naive `ON a.label = b.label`
+#    self-join plans as <=10 hash-join tasks — measured: ONE task
+#    ground through ~6M cosines for 27+ min. Routing pair (x, y) to
+#    exactly one of 8x8 bucket groups per label (each side replicated
+#    NB=8x on slim id+vector rows) restores ~640-way parallelism with
+#    the identical output set — same skew lesson as
+#    operators/blocking.pairs_within_blocks.
+# 2. higher-order functions (aggregate/zip_with) are INTERPRETED
+#    per-eval in Spark — tens of us per pair, 316 s at sf1 even after
+#    fix 1.
+# 3. unrolling the dim-64 dot into a flat GetArrayItem expression does
+#    NOT fix 2: the generated method blows past the codegen budget
+#    (hugeMethodLimit) and the whole stage falls back to interpreted
+#    eval — measured 409 s, WORSE than the lambda form. Per-pair
+#    arithmetic this wide belongs in Arrow/numpy, not Catalyst exprs:
+#    one float32 BLAS matmul per (n/NB)^2 tile, cosine from
+#    double-precision norms. This is the engine's own production path
+#    (analysis/ann.py, analysis/semdedup.py) and the input-contract's
+#    "vectorized pandas/Arrow UDFs, no per-row Python".
+# Parity: dot and norms accumulate in float64 (pairwise order vs
+# DuckDB's index order differs by ~1e-15 relative — invisible at
+# round(4); a tie would need the 5th decimal digit to be an exact 5 in
+# binary, which no finite double is). Verified hash-equal at
+# sf0.01/sf0.1/sf1.
+_EMB_NB = 8  # bucket fan-out; scale as sqrt(label_rows/tile_target)
+
+
+def _emb_near_dup_fn(spark: SparkSession) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    nb = _EMB_NB
+    e = (spark.table("embeddings")
+         .select("vec_id", "label", "embedding",
+                 F.pmod("vec_id", F.lit(nb)).alias("bkt"))
+         .withColumn("other", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
+         .select("vec_id", "label", "embedding",
+                 F.least("bkt", "other").alias("bi"),
+                 F.greatest("bkt", "other").alias("bj"),
+                 # row sits on the A side of tile (bi, bj) iff its own
+                 # bucket is bi; each unordered pair lands in exactly
+                 # one tile, diagonal tiles carry one copy per row
+                 (F.col("bkt") <= F.col("other")).alias("is_a")))
+
+    def tile(key, pdf):
+        _, bi, bj = key
+        a = pdf[pdf["is_a"]] if bi != bj else pdf
+        b = pdf[~pdf["is_a"]] if bi != bj else pdf
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_1": pd.Series(dtype="int64"),
+                                 "id_2": pd.Series(dtype="int64"),
+                                 "cos_sim": pd.Series(dtype="float64")})
+        xa = np.asarray(list(a["embedding"]), dtype=np.float64)
+        xb = np.asarray(list(b["embedding"]), dtype=np.float64)
+        g = xa @ xb.T
+        cos = g / np.outer(np.sqrt((xa * xa).sum(1)),
+                           np.sqrt((xb * xb).sum(1)))
+        ia = a["vec_id"].to_numpy()
+        ib = b["vec_id"].to_numpy()
+        # id_1 < id_2 exactly once per pair: diagonal tiles take the
+        # upper triangle; off-diagonal tiles orient each pair by id
+        r, c = np.nonzero((ia[:, None] < ib[None, :])
+                          if bi == bj else np.ones_like(cos, dtype=bool))
+        id1, id2 = ia[r], ib[c]
+        sw = id1 > id2
+        id1[sw], id2[sw] = id2[sw], id1[sw]
+        sim = np.round(cos[r, c], 4)
+        keep = sim >= 0.35
+        return pd.DataFrame({"id_1": id1[keep], "id_2": id2[keep],
+                             "cos_sim": sim[keep]})
+
+    out = e.groupBy("label", "bi", "bj").applyInPandas(
+        tile, schema="id_1 long, id_2 long, cos_sim double")
+    return out.orderBy("id_1", "id_2")
+
+
+_fq("embedding_near_dup_pairs", _emb_near_dup_fn, """
+WITH p AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 4) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_1, id_2, cos_sim FROM p WHERE cos_sim >= 0.35 ORDER BY id_1, id_2
 """)
 
 
