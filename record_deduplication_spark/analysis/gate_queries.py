@@ -868,7 +868,16 @@ FROM fl ORDER BY doc_id, pair_id
 # projection, the shape the engine uses for arbitrary-width feature
 # vectors); the DuckDB twin uses the equivalent left-fold arithmetic
 # — both fold in the same order, so the IEEE results are identical.
-_c2_spark = """
+# ORDER BY lists EVERY output column: (l_orderkey, l_linenumber) is
+# NOT unique in the driver's lineitem (sf0.1: 600k rows / 457k
+# distinct keys), so a key-only ORDER BY ... LIMIT 100 let each engine
+# pick different tie members (surfaced by the sf1 sweep; invisible at
+# sf0.01). With the full row in the sort, any remaining ties are
+# identical output rows and the selected multiset is well-defined.
+_c2_order = ("ORDER BY l_orderkey, l_linenumber, x1_sq, x1_sqrt, "
+             "x1_log1p, row_range, interaction, row_mean, row_var "
+             "LIMIT 100")
+_c2_spark = f"""
 WITH f AS (
   SELECT l_orderkey, l_linenumber,
          l_quantity AS x1,
@@ -890,9 +899,9 @@ SELECT l_orderkey, l_linenumber,
        round(rm, 4) AS row_mean,
        round(aggregate(array(x1, x2, x3), CAST(0.0 AS DOUBLE),
                        (acc, x) -> acc + (x - rm) * (x - rm)) / 3, 4) AS row_var
-FROM r ORDER BY l_orderkey, l_linenumber LIMIT 100
+FROM r {_c2_order}
 """
-_c2_duck = """
+_c2_duck = f"""
 WITH f AS (
   SELECT l_orderkey, l_linenumber,
          l_quantity AS x1,
@@ -913,7 +922,7 @@ SELECT l_orderkey, l_linenumber,
        round(rm, 4) AS row_mean,
        round(((x1 - rm) * (x1 - rm) + (x2 - rm) * (x2 - rm)
               + (x3 - rm) * (x3 - rm)) / 3, 4) AS row_var
-FROM r ORDER BY l_orderkey, l_linenumber LIMIT 100
+FROM r {_c2_order}
 """
 _q("feature_engineering_math", _c2_spark, _c2_duck)
 
