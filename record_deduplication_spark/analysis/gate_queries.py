@@ -173,13 +173,22 @@ sharr AS (
                                   i -> {_gram_spark(_K)})) AS sh
   FROM toks WHERE size(w) >= {_K}
 ),
+hv AS (
+  -- base md5 hash hoisted OUT of the per-permutation transform: one
+  -- md5 per shingle, then P cheap affine maps over the int array
+  -- (nested form re-hashed every shingle P times: 16x the md5 work,
+  -- measured 54 s -> ~8 s on the sf1 sweep)
+  SELECT doc_id, sh,
+         transform(sh, s -> {_H40_SPARK.format(x="s")}) AS hvals
+  FROM sharr
+),
 mh AS (
   SELECT doc_id, sh,
          transform(sequence(0, {_P - 1}),
-                   p -> array_min(transform(sh,
-                        s -> (({_H40_SPARK.format(x="s")} * (2 * p + 3))
+                   p -> array_min(transform(hvals,
+                        h -> ((h * (2 * p + 3))
                               + 12289 * (p + 1)) % {_MH_PRIME}))) AS mhv
-  FROM sharr
+  FROM hv
 ),
 bands AS (
   SELECT doc_id, b AS band,
@@ -526,14 +535,26 @@ FROM r WHERE rn = 1 ORDER BY custkey
 """)
 
 # ---- sorted-neighbourhood blocking (B4 reference semantics, window=2) ----
+# Spark side: ONE window pass with lead(1)/lead(2) — the range self-join
+# (b.rn in (a.rn+1, a.rn+2)) is a non-equi predicate Spark can only plan
+# as a nested-loop join (O(n^2) compares: 98 s at sf1's 150k customers);
+# the lead() plan is O(n log n) sort + linear scan (<2 s). Semantics are
+# identical: each row pairs with its next-1 and next-2 neighbours in
+# (c_name, c_custkey) order. The DuckDB oracle keeps the declarative
+# range-join formulation as the independent proof. The single-task global
+# sort is gate-only; the engine's scale path key-partitions first
+# (operators/blocking.py sorted-neighbourhood).
 _q("sorted_neighbourhood_pairs",
    """
-WITH r AS (
-  SELECT c_custkey, row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+WITH w AS (
+  SELECT c_custkey AS id_1,
+         lead(c_custkey, 1) OVER (ORDER BY c_name, c_custkey) AS n1,
+         lead(c_custkey, 2) OVER (ORDER BY c_name, c_custkey) AS n2
   FROM customer
 )
-SELECT a.c_custkey AS id_1, b.c_custkey AS id_2
-FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 2
+SELECT id_1, id_2
+FROM w LATERAL VIEW explode(array(n1, n2)) t AS id_2
+WHERE id_2 IS NOT NULL
 ORDER BY id_1, id_2
 """,
    """
@@ -653,7 +674,37 @@ FROM scored GROUP BY 1 ORDER BY band
 # reference: /root/reference/src/core/clustering_engine.py:227-319 (stack
 # both pair directions, groupby record, mean/max). Pairs here are the
 # sorted-neighbourhood pairs; feature = name edit-distance similarity.
+# Spark side: lead()-based neighbour pairing (see sorted_neighbourhood_pairs
+# above — the range self-join nested-loops at 305 s on sf1's 150k customers;
+# the window plan is <2 s with identical pair semantics). Oracle keeps the
+# declarative range join.
 _c1_spark = """
+WITH w AS (
+  SELECT c_custkey, c_name,
+         lead(c_custkey, 1) OVER (ORDER BY c_name, c_custkey) AS k1,
+         lead(c_name, 1)    OVER (ORDER BY c_name, c_custkey) AS m1,
+         lead(c_custkey, 2) OVER (ORDER BY c_name, c_custkey) AS k2,
+         lead(c_name, 2)    OVER (ORDER BY c_name, c_custkey) AS m2
+  FROM customer
+),
+pairs AS (
+  SELECT c_custkey AS id_1, nb.k AS id_2,
+         levenshtein(c_name, nb.m) AS edit_dist
+  FROM w LATERAL VIEW explode(array(named_struct('k', k1, 'm', m1),
+                                    named_struct('k', k2, 'm', m2))) t AS nb
+  WHERE nb.k IS NOT NULL
+),
+melt AS (
+  SELECT id_1 AS custkey, edit_dist FROM pairs
+  UNION ALL
+  SELECT id_2 AS custkey, edit_dist FROM pairs
+)
+SELECT custkey, count(*) AS n_pairs,
+       round(CAST(sum(edit_dist) AS DOUBLE) / count(*), 6) AS mean_edit_dist,
+       CAST(min(edit_dist) AS BIGINT) AS min_edit_dist
+FROM melt GROUP BY custkey ORDER BY custkey
+"""
+_c1_duck = """
 WITH r AS (
   SELECT c_custkey, c_name, row_number() OVER (ORDER BY c_name, c_custkey) AS rn
   FROM customer
@@ -673,7 +724,7 @@ SELECT custkey, count(*) AS n_pairs,
        CAST(min(edit_dist) AS BIGINT) AS min_edit_dist
 FROM melt GROUP BY custkey ORDER BY custkey
 """
-_q("pair_melt_record_agg", _c1_spark, _c1_spark)
+_q("pair_melt_record_agg", _c1_spark, _c1_duck)
 
 # ---- C14: cluster statistics (sizes, buckets, percentiles) ----
 # reference: /root/reference/src/core/clustering/cluster_stats.py:18-175
