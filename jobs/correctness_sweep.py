@@ -17,7 +17,6 @@ lists (strictly stronger than comparing digests of them).
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 import time
@@ -26,25 +25,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _canon(df) -> list[tuple]:
-    df = df[sorted(df.columns)]
-    rows = []
-    for tup in df.itertuples(index=False):
-        row = []
-        for v in tup:
-            if isinstance(v, float):
-                row.append("nan" if math.isnan(v) else f"{v:.9g}")
-            else:
-                row.append(str(v))
-        rows.append(tuple(row))
-    return sorted(rows)
-
-
 def sweep(sf_dir: str, out_path: str, cpus: int = 16) -> dict:
     import duckdb
 
     import __spark_entry__ as E
     from record_deduplication_spark.analysis import gate_queries as G
+    from record_deduplication_spark.analysis.gate_queries import \
+        canon_rows as _canon
     from record_deduplication_spark.session import build_session
 
     spark = build_session(app="correctness_sweep", master=f"local[{cpus}]",

@@ -67,7 +67,10 @@ def main(n_rows: int = 10_000, n_keys: int = 16, n_batches: int = 10,
     # latency is measured INCLUDING the state round-trip (the cost
     # that grows if state is unbounded)
     for i in range(n_batches):
-        pdf.iloc[i * per:(i + 1) * per].to_parquet(
+        # last batch takes the remainder so every row is written even
+        # when n_rows is not divisible by n_batches
+        hi = n_rows if i == n_batches - 1 else (i + 1) * per
+        pdf.iloc[i * per:hi].to_parquet(
             os.path.join(in_dir, f"b{i:03d}.parquet"), index=False)
         stream = (spark.readStream
                   .schema("clip_id string, block_key string, fp long")

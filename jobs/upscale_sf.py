@@ -49,14 +49,22 @@ _TOKEN = re.compile(r"\S+")
 
 
 def _tag_text(text: str, r: int) -> str:
-    """Append the replica digit to EVERY token: within-replica dup
+    """Append `~r<replica>` to EVERY token: within-replica dup
     structure is preserved exactly (same pairs of docs still share the
     same shingles), while documents of different replicas share no
     k>=2 shingles — so pair-generating gates scale linearly in
-    replicas instead of forming cross-replica cliques."""
+    replicas instead of forming cross-replica cliques.
+
+    The `~r` separator (never present in the source token alphabet —
+    asserted in mut_documents) makes the no-cross-replica invariant
+    hold for ANY replica count: a bare digit suffix collides once
+    replicas exceed 10 ('abc1'+tag 1 == 'abc'+tag 11) or whenever a
+    base token ends in a digit. With the separator, equal tagged
+    tokens imply equal trailing digit runs after the final '~r'
+    (=> same replica) and equal prefixes (=> same base token)."""
     if r == 0:
         return text
-    suf = str(r)
+    suf = f"~r{r}"
     return _TOKEN.sub(lambda m: m.group(0) + suf, text)
 
 
@@ -103,6 +111,12 @@ def upscale(src: str, dst: str, replicas: int = 10) -> None:
 
     def mut_documents(c, r):
         c["doc_id"] += r * STRIDE["doc"]
+        if r == 1:
+            # replica 0 stays untagged, so the separator must be absent
+            # from the source alphabet or a base token like 'x~r1'
+            # would alias replica 1's tag of 'x'
+            assert not c["text"].str.contains("~", regex=False).any(), \
+                "source documents contain '~': pick another tag separator"
         if r:
             c["text"] = [_tag_text(t, r) for t in c["text"]]
             c["n_chars"] = c["text"].str.len().astype("int64")

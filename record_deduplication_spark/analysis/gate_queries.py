@@ -2038,9 +2038,11 @@ FROM m
 #    "vectorized pandas/Arrow UDFs, no per-row Python".
 # Parity: dot and norms accumulate in float64 (pairwise order vs
 # DuckDB's index order differs by ~1e-15 relative — invisible at
-# round(4); a tie would need the 5th decimal digit to be an exact 5 in
-# binary, which no finite double is). Verified hash-equal at
-# sf0.01/sf0.1/sf1.
+# round(4)). Exact 4-decimal ties DO exist among finite doubles (any
+# cosine equal to an odd multiple of 2^-5, e.g. 1/32 = 0.03125), so
+# the rounding mode must match DuckDB's round() (half away from zero);
+# np.round is half-to-even and would emit 0.0312 vs DuckDB's 0.0313 on
+# such a tie. Verified hash-equal at sf0.01/sf0.1/sf1.
 _EMB_NB = 8  # bucket fan-out; scale as sqrt(label_rows/tile_target)
 
 
@@ -2084,7 +2086,10 @@ def _emb_near_dup_fn(spark: SparkSession) -> DataFrame:
         id1, id2 = ia[r], ib[c]
         sw = id1 > id2
         id1[sw], id2[sw] = id2[sw], id1[sw]
-        sim = np.round(cos[r, c], 4)
+        v = cos[r, c]
+        # half-away-from-zero to match DuckDB round(); np.round is
+        # half-to-even and diverges on exact ties (see header comment)
+        sim = np.copysign(np.floor(np.abs(v) * 1e4 + 0.5) / 1e4, v)
         keep = sim >= 0.35
         return pd.DataFrame({"id_1": id1[keep], "id_2": id2[keep],
                              "cos_sim": sim[keep]})
@@ -2139,3 +2144,23 @@ def duckdb_sql(name: str) -> str:
     if name in PAIRED_FN:
         return PAIRED_FN[name][1]
     return PAIRED_SQL[name][1]
+
+
+def canon_rows(df) -> list[tuple]:
+    """THE canonical row form both local gate checkers compare
+    (tests/test_gate_queries.py and jobs/correctness_sweep.py import
+    this single definition so 'green' cannot silently mean two
+    different things): columns sorted by name, floats %.9g NaN-safe,
+    everything else str()'d, rows sorted."""
+    import math
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if isinstance(v, float):
+                row.append("nan" if math.isnan(v) else f"{v:.9g}")
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    return sorted(rows)

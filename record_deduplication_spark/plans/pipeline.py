@@ -200,8 +200,8 @@ class DedupPipeline:
         pairs whose (id_1, id_2, sources) row changed are re-verified,
         and the candidates/edges tables are atomically REWRITTEN — the
         folded state is pair-for-pair equal to a from-scratch run on
-        the combined corpus (tested in tests/test_pipeline_e2e.py with
-        a planted tier-crossing block).
+        the combined corpus (tested in tests/test_strict_incremental.py
+        with a planted tier-crossing block).
 
         Precondition: `new_clips` ids are NEW (not re-ingests of
         existing clip_ids) — dedup of the id space itself belongs to
@@ -214,6 +214,30 @@ class DedupPipeline:
                     f"run_incremental needs a completed prior run: "
                     f"stage table {stage!r} not found under the workdir")
         signed_old = self._signed_current(self.store.read("signed"), run_id)
+
+        # Idempotency anchor: the fold's table mutations commit as ONE
+        # cross-stage transaction (CheckpointStore.commit_txn), so after
+        # any crash the stored state is either pre-fold (batch absent
+        # everywhere -> fold it) or post-fold (batch present everywhere
+        # -> only the clusters overwrite / final flush may be missing).
+        # Detect the latter by id presence and finish instead of
+        # re-folding — re-running the SAME run_incremental call after a
+        # crash is therefore always safe. A batch that is only PARTLY
+        # known is neither: that's a re-ingest of old ids mixed with new
+        # ones, which belongs to the ingest layer — fail loudly.
+        new_ids = new_clips.select("clip_id")
+        n_already = (signed_old.select("clip_id")
+                     .join(F.broadcast(new_ids), "clip_id", "leftsemi")
+                     .count())
+        if n_already:
+            n_batch = new_ids.count()
+            if n_already != n_batch:
+                raise ValueError(
+                    f"run_incremental: {n_already} of {n_batch} batch "
+                    f"clip_ids already exist in the stored signed table "
+                    f"— mixed re-ingest; dedup the id space upstream "
+                    f"(streaming/dedup_stream.exact_dedup_stream)")
+            return self._refold_noop(run_id, n_batch)
 
         t0 = time.time()
         signed_new = add_signatures(new_clips, cfg).localCheckpoint(eager=True)
@@ -238,16 +262,21 @@ class DedupPipeline:
         # O(|new|) appends, never a rewrite of the corpus-sized stage
         # tables (Iceberg mode: snapshot appends). The edge union is
         # disjoint by construction: every incremental edge touches a
-        # new clip, which no old edge can.
+        # new clip, which no old edge can. The three appends commit as
+        # ONE transaction: per-stage atomicity alone leaves crash
+        # windows where e.g. edges contain the batch but signed doesn't
+        # — a re-fold would then append the batch's edges twice.
         # counts of the folded tables from commit metadata (footers /
         # manifests) — an incremental batch must never pay a
         # corpus-sized count job over the tables it just appended to
-        edges_all = self.store.append("edges", edges_new)
+        folded = self.store.commit_txn(appends={"edges": edges_new,
+                                                "signed": signed_new,
+                                                "candidates": cands_new})
+        edges_all = folded["edges"]
+        signed_all = folded["signed"]
+        cands_all = folded["candidates"]
         n_edges = sum(n for _, n in self.store.partition_rows("edges"))
         self.store.log(run_id, "edges_inc", t0, n_edges, 0)
-
-        signed_all = self.store.append("signed", signed_new)
-        cands_all = self.store.append("candidates", cands_new)
         t0 = time.time()
         clusters = self.store.write(
             "clusters",
@@ -312,9 +341,15 @@ class DedupPipeline:
         n_edges = edges_full.count()
         self.store.log(run_id, "edges_strict", t0, n_edges, 0)
 
-        signed_all = self.store.append("signed", signed_new)
-        cands_all = self.store.rewrite("candidates", cands_full)
-        edges_all = self.store.rewrite("edges", edges_full)
+        # one cross-stage transaction (see run_incremental): a crash
+        # can never leave the batch in signed but the old pair tables
+        # in place (or any other partial combination)
+        folded = self.store.commit_txn(
+            appends={"signed": signed_new},
+            rewrites={"candidates": cands_full, "edges": edges_full})
+        signed_all = folded["signed"]
+        cands_all = folded["candidates"]
+        edges_all = folded["edges"]
         t0 = time.time()
         clusters = self.store.write(
             "clusters",
@@ -330,6 +365,45 @@ class DedupPipeline:
             "n_candidates": n_cands,
             "n_reverified_pairs": n_reverify,
             "n_edges": n_edges,
+            "n_clusters": clusters.where(clustered())
+                                  .select("cluster_id").distinct().count(),
+        }
+        self.store.log(run_id, "pipeline_done", time.time(), n_clips, 0,
+                       **stats)
+        self.store.flush()
+        return PipelineResult(clusters=clusters, edges=edges_all,
+                              candidates=cands_all, stats=stats)
+
+    def _refold_noop(self, run_id: int, n_batch: int) -> PipelineResult:
+        """Finish a batch whose fold ALREADY committed: a prior
+        run_incremental crashed after its cross-stage fold transaction
+        (signed/candidates/edges all contain the batch — commit_txn is
+        all-or-nothing) but before the clusters overwrite or the final
+        metrics flush — or the caller re-submitted a committed batch.
+        Either way the fold is idempotent per batch: skip re-pairing
+        entirely, recompute clusters from the stored edge table (an
+        idempotent overwrite) and re-emit the final stats."""
+        cfg = self.cfg
+        t0 = time.time()
+        signed_all = self.store.read("signed")
+        edges_all = self.store.read("edges")
+        cands_all = self.store.read("candidates")
+        clusters = self.store.write(
+            "clusters",
+            assign_clusters(signed_all.select("clip_id"),
+                            connected_components(
+                                edges_all.select("id_1", "id_2"), cfg),
+                            cfg))
+        n_clips = sum(n for _, n in self.store.partition_rows("signed"))
+        self.store.log(run_id, "clusters_inc", t0, n_clips, 0)
+        stats = {
+            "n_clips": n_clips,
+            "n_new_clips": 0,
+            "n_already_folded": n_batch,
+            "n_candidates": sum(
+                n for _, n in self.store.partition_rows("candidates")),
+            "n_edges": sum(
+                n for _, n in self.store.partition_rows("edges")),
             "n_clusters": clusters.where(clustered())
                                   .select("cluster_id").distinct().count(),
         }

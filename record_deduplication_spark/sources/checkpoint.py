@@ -100,6 +100,7 @@ class CheckpointStore:
     def exists(self, stage: str) -> bool:
         if self.use_iceberg:
             return self.spark.catalog.tableExists(self.path(stage))
+        self._repair_txns()  # before per-stage repairs (see docstring)
         self._repair_interrupted_rewrite(stage)
         self._repair_unmanifested_appends(stage)
         return os.path.exists(os.path.join(self.path(stage), "_SUCCESS"))
@@ -207,6 +208,153 @@ class CheckpointStore:
             shutil.rmtree(staging, ignore_errors=True)
         return self.read(stage)
 
+    def commit_txn(self, appends: dict[str, DataFrame] | None = None,
+                   rewrites: dict[str, DataFrame] | None = None,
+                   ) -> dict[str, DataFrame]:
+        """Commit appends and/or rewrites of SEVERAL stage tables as ONE
+        all-or-nothing transaction. This is the incremental fold's
+        commit primitive: a daily batch touches signed+candidates+edges
+        together, and per-stage atomicity alone leaves crash windows
+        where some tables contain the batch and others don't — a state
+        from which neither "re-fold the batch" (duplicate rows in the
+        stages that committed) nor "carry on" (missing rows in the
+        stages that didn't) is correct.
+
+        Parquet protocol (single-writer, local filesystem):
+          1. prepare: append part files are MOVED into their stage dirs
+             under the txn tag but NOT manifested; rewrite DataFrames
+             are written to sibling `.{stage}__txnrw_{tag}` dirs
+             (callers must eagerly materialize a rewrite df that reads
+             its own current table, as rewrite() requires);
+          2. commit point: `<base>/_txn_{tag}.json` is written
+             (tmp + one rename — atomic on POSIX);
+          3. apply: each append's names fold into its stage manifest;
+             each rewrite swaps directories; the txn file is removed.
+        A crash before 2 leaves unmanifested part files and orphan
+        txnrw dirs, which _repair_unmanifested_appends deletes — the
+        whole txn vanishes and the caller re-runs it. A crash after 2
+        is completed by _repair_txns (idempotent re-apply, run before
+        any per-stage repair) — the whole txn becomes durable. There
+        is no state in which only part of the txn is visible to a
+        reader that performed repair (exists/read-through-exists/
+        partition_rows/append all repair first).
+
+        Iceberg mode: each table commit is snapshot-atomic but there is
+        NO cross-table transaction without catalog-level transactions
+        (or a WAP/branch workflow) — out of scope in this container;
+        operations are applied sequentially in dict order, appends
+        first. Callers relying on cross-stage atomicity should treat
+        Iceberg mode as per-table atomic only.
+
+        Returns {stage: re-read DataFrame} for every touched stage.
+        """
+        appends = appends or {}
+        rewrites = rewrites or {}
+        if self.use_iceberg:
+            for stage, df in appends.items():
+                self.append(stage, df)
+            for stage, df in rewrites.items():
+                self.rewrite(stage, df)
+            return {s: self.read(s) for s in (*appends, *rewrites)}
+        import glob
+        import shutil
+        import uuid
+        self._repair_txns()
+        tag = uuid.uuid4().hex[:12]
+        # prepare appends: files in place, NOT manifested
+        app_names: dict[str, list[str]] = {}
+        try:
+            for stage, df in appends.items():
+                self._repair_unmanifested_appends(stage)
+                df = df.select(*self.read(stage).columns)
+                staging = os.path.join(self.base, f".{stage}__append_{tag}")
+                try:
+                    df.write.mode("overwrite").parquet(staging)
+                    names = []
+                    for i, p in enumerate(sorted(
+                            glob.glob(os.path.join(staging,
+                                                   "part-*.parquet")))):
+                        nm = f"part-app-{tag}-{i:05d}.parquet"
+                        os.rename(p, os.path.join(self.path(stage), nm))
+                        names.append(nm)
+                    app_names[stage] = names
+                finally:
+                    shutil.rmtree(staging, ignore_errors=True)
+            # prepare rewrites: full new table in a sibling dir
+            for stage, df in rewrites.items():
+                tmp = os.path.join(self.base, f".{stage}__txnrw_{tag}")
+                df.write.mode("overwrite").parquet(tmp)
+        except BaseException:
+            # pre-commit failure: undo the prepared pieces now (a crash
+            # instead of an exception is undone by repair on next use)
+            for stage, names in app_names.items():
+                for nm in names:
+                    try:
+                        os.remove(os.path.join(self.path(stage), nm))
+                    except OSError:
+                        pass
+            for stage in rewrites:
+                shutil.rmtree(
+                    os.path.join(self.base, f".{stage}__txnrw_{tag}"),
+                    ignore_errors=True)
+            raise
+        # commit point
+        txn = {"tag": tag, "appends": app_names,
+               "rewrites": sorted(rewrites)}
+        tmp = self._txn_path(tag) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(txn, f)
+        os.rename(tmp, self._txn_path(tag))
+        # apply
+        self._apply_txn(txn)
+        os.remove(self._txn_path(tag))
+        return {s: self.read(s) for s in (*appends, *rewrites)}
+
+    def _txn_path(self, tag: str) -> str:
+        return os.path.join(self.base, f"_txn_{tag}.json")
+
+    def _apply_txn(self, txn: dict) -> None:
+        """Post-commit apply; every step is idempotent so _repair_txns
+        can re-run it from any crash point."""
+        import shutil
+        tag = txn["tag"]
+        for stage, names in txn["appends"].items():
+            man = self._append_manifest(stage)
+            if man.get(tag) != names:
+                man[tag] = names
+                tmp = self._manifest_path(stage) + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(man, f)
+                os.rename(tmp, self._manifest_path(stage))
+        for stage in txn["rewrites"]:
+            final = self.path(stage)
+            tmpdir = os.path.join(self.base, f".{stage}__txnrw_{tag}")
+            old = f"{final}__txnold_{tag}"
+            if os.path.exists(tmpdir):
+                if os.path.exists(final) and not os.path.exists(old):
+                    os.rename(final, old)
+                if not os.path.exists(final):
+                    os.rename(tmpdir, final)
+            # tmpdir gone => this stage's swap already completed
+            shutil.rmtree(old, ignore_errors=True)
+
+    def _repair_txns(self) -> None:
+        """Complete any committed-but-unapplied transactions (crash
+        between the _txn file rename and the end of _apply_txn). MUST
+        run before per-stage append repair: a committed txn's part
+        files are not yet in the stage manifests, and per-stage repair
+        would otherwise delete them as torn."""
+        import glob
+        for p in sorted(glob.glob(os.path.join(self.base, "_txn_*.json"))):
+            with open(p) as f:
+                txn = json.load(f)
+            self._apply_txn(txn)
+            os.remove(p)
+        # a crash mid-commit-write leaves a .tmp (never applied: the
+        # rename that makes it live never happened) — just an orphan
+        for p in glob.glob(os.path.join(self.base, "_txn_*.json.tmp")):
+            os.remove(p)
+
     def _manifest_path(self, stage: str) -> str:
         return os.path.join(self.path(stage), "_appends.json")
 
@@ -236,6 +384,7 @@ class CheckpointStore:
         import glob
         import re
         import shutil
+        self._repair_txns()  # committed txns fold their manifests first
         d = self.path(stage)
         if not os.path.isdir(d):
             return
@@ -246,6 +395,10 @@ class CheckpointStore:
             if m and m.group(1) not in man:
                 os.remove(os.path.join(d, f))
         for s in glob.glob(os.path.join(self.base, f".{stage}__append_*")):
+            shutil.rmtree(s, ignore_errors=True)
+        # txn rewrite dirs surviving _repair_txns belong to transactions
+        # that never reached their commit point — orphans
+        for s in glob.glob(os.path.join(self.base, f".{stage}__txnrw_*")):
             shutil.rmtree(s, ignore_errors=True)
 
     def read(self, stage: str) -> DataFrame:

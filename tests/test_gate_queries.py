@@ -3,8 +3,6 @@ on Spark and DuckDB at sf0.001 and compare row count + columns +
 order-insensitive values (NaN-safe, float-rounded the same way the
 queries themselves round)."""
 
-import math
-
 import duckdb
 import pandas as pd
 import pytest
@@ -23,18 +21,10 @@ def duck():
     con.close()
 
 
-def _canon(df: pd.DataFrame) -> list[tuple]:
-    df = df[sorted(df.columns)]
-    rows = []
-    for tup in df.itertuples(index=False):
-        row = []
-        for v in tup:
-            if isinstance(v, float):
-                row.append("nan" if math.isnan(v) else f"{v:.9g}")
-            else:
-                row.append(str(v))
-        rows.append(tuple(row))
-    return sorted(rows)
+# the one shared definition of the canonical row form (also used by
+# jobs/correctness_sweep.py) — a local copy could drift and make the
+# sf1 sweep and this gate compare mean different things by "green"
+_canon = G.canon_rows
 
 
 @pytest.mark.parametrize("name", G.all_names())
