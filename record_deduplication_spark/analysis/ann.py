@@ -35,7 +35,13 @@ def _cos_expr(a: str, b: str):
                             lambda acc, x: acc + x.cast("double") * x.cast("double")))
     nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0),
                             lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    return dot / (na * nb)
+    # all-zero vectors (failed embed, padding) pass the null/dim row
+    # guards but have no defined cosine: NULL, not DIVIDE_BY_ZERO under
+    # ANSI mode — every topk path filters cosine IS NOT NULL before
+    # ranking, and NULL fails any >= threshold, so zero vectors never
+    # enter a result set
+    denom = na * nb
+    return F.when(denom > 0, dot / denom)
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -61,6 +67,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .withColumn("cosine", _cos_expr("qv", "cv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored
+            .where(F.col("cosine").isNotNull())  # zero-norm: no defined cosine
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
@@ -216,6 +223,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .withColumn("cosine", _cos_expr("qv", "cv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored
+            .where(F.col("cosine").isNotNull())  # zero-norm: no defined cosine
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
@@ -232,7 +240,17 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     exact cosine re-ranks candidates. The cross join is replaced by an
     equi-join on (table, bucket) — the 100 TB-safe plan."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        # first row with a non-null, non-empty vector — first()[0]
+        # alone TypeErrors on a leading NULL embedding (the exact row
+        # class bucketize() drops) and on an empty corpus
+        row = (corpus.where(F.col(vec_col).isNotNull()
+                            & (F.size(vec_col) > 0))
+               .select(vec_col).first())
+        if row is None:
+            raise ValueError(
+                "lsh_topk: cannot infer embedding dimension — corpus "
+                "has no non-null, non-empty vectors; pass dim=")
+        dim = len(row[0])
     tables = _hyperplanes(dim, n_planes, n_tables, seed)
     sig = _bucket_sig_udf(tables)
 
@@ -261,6 +279,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = cand.withColumn("cosine", _cos_expr("qv", "cv"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored
+            .where(F.col("cosine").isNotNull())  # zero-norm: no defined cosine
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id",

@@ -310,7 +310,7 @@ _q("substring_run_pairs", _ss_spark, _ss_duck)
 _sh_spark = f"""
 WITH wd AS (
   SELECT /*+ REPARTITION(32) */ doc_id, array_distinct(split(text, ' ')) AS ws
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 wh AS (
   SELECT doc_id, transform(ws, wrd -> {_H_SPARK.format(x="wrd")}) AS hs FROM wd
@@ -325,8 +325,11 @@ FROM wh ORDER BY doc_id
 """
 _sh_duck = f"""
 WITH wd AS (
+  -- text IS NOT NULL on BOTH sides: Spark's aggregate over a NULL
+  -- word array would emit (doc_id, 0) while unnest drops the doc
   SELECT DISTINCT doc_id, wrd FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS wrd FROM documents)
+    SELECT doc_id, unnest(string_split(text, ' ')) AS wrd
+    FROM documents WHERE text IS NOT NULL)
 ),
 wh AS (SELECT doc_id, {_H_DUCK.format(x="wrd")} AS h FROM wd),
 bits AS (
@@ -731,7 +734,7 @@ _q("pair_melt_record_agg", _c1_spark, _c1_duck)
 _c14_spark = """
 WITH cl AS (
   SELECT concat_ws(' ', slice(split(text,' '), 1, 4)) AS cluster_key, count(*) AS sz
-  FROM documents GROUP BY 1
+  FROM documents WHERE text IS NOT NULL GROUP BY 1
 )
 SELECT CASE WHEN sz = 1 THEN 'singleton'
             WHEN sz <= 3 THEN 'tiny'
@@ -754,7 +757,7 @@ SELECT concat_ws(' ', slice(split(text,' '), 1, 4)) AS group_key,
        min(doc_id) AS survivor,
        count(*) - 1 AS n_merged,
        array_join(array_sort(collect_list(CAST(doc_id AS STRING))), ',') AS merged_from
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM documents WHERE text IS NOT NULL GROUP BY 1 HAVING count(*) > 1
 ORDER BY group_key
 """,
    """
@@ -762,7 +765,7 @@ SELECT array_to_string(string_split(text,' ')[1:4], ' ') AS group_key,
        min(doc_id) AS survivor,
        count(*) - 1 AS n_merged,
        string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id::VARCHAR) AS merged_from
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM documents WHERE text IS NOT NULL GROUP BY 1 HAVING count(*) > 1
 ORDER BY group_key
 """)
 
@@ -816,7 +819,7 @@ _b6 = """
 WITH n AS (SELECT count(*) AS n_docs FROM documents),
 blocked_pairs AS (
   SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_pairs FROM (
-    SELECT count(*) AS c FROM documents
+    SELECT count(*) AS c FROM documents WHERE text IS NOT NULL
     GROUP BY concat_ws(' ', slice(split(text,' '), 1, 4))
   )
 )

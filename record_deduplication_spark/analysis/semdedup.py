@@ -53,7 +53,12 @@ def _cell_dedup_kernel(id_col: str, vec_col: str, tau: float,
         if idx.size >= 2:
             x = np.array(pdf[vec_col].iloc[idx].tolist(), dtype=np.float64)
             x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            s = np.round(x @ x.T, 4)
+            g = x @ x.T
+            # half-away-from-zero, matching SQL round(): np.round is
+            # half-to-even and flips the keep/drop verdict on an exact
+            # 4-decimal tie at the tau boundary (e.g. cosine 1/32 with
+            # tau=0.0313) — same fix as gate_queries._emb_near_dup_fn
+            s = np.copysign(np.floor(np.abs(g) * 1e4 + 0.5) / 1e4, g)
             s[np.tril_indices(idx.size)] = -np.inf  # column i keeps only j < i
             kept[idx] = s.max(axis=0) < tau
         out = pdf[[id_col, "cell"]].copy()

@@ -127,7 +127,8 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     Returns (id, n_tokens, dup_word_fraction, n_grams,
     dup_ngram_fraction, top_ngram_share).
     """
-    terms = ", ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    from .decontaminate import _gram_terms
+    terms = _gram_terms(n)
     grams = F.expr(
         f"CASE WHEN size(w) >= {n} THEN "
         f"transform(sequence(0, size(w) - {n}), "

@@ -137,7 +137,10 @@ def map_distinct(df: DataFrame, col: str, fn, out_col: str | None = None) -> Dat
     O(distinct values) driver calls, never O(rows)."""
     out_col = out_col or f"{col}_mapped"
     spark = df.sparkSession
-    vals = [r[0] for r in df.select(col).distinct().collect()]
+    # NULL never equi-joins back, so don't pay fn(None) (which would
+    # TypeError for the typical str-assuming external call anyway)
+    vals = [r[0] for r in df.select(col).distinct().collect()
+            if r[0] is not None]
     mapping = [(v, fn(v)) for v in vals]
     mdf = local_rows_df(spark, mapping, f"{col} string, {out_col} string")
     return df.join(F.broadcast(mdf), col, "left")
@@ -292,7 +295,8 @@ def cluster_agreement(ref: DataFrame, test: DataFrame,
     and pairs(ref AND test) = sum over the JOINT contingency table
     (one id-join + one groupBy) — O(n) rows shuffled total, hot
     clusters are just bigger counts, never bigger joins. Noise
-    (cluster_id < 0 or NULL) contributes no pairs on its side.
+    (cluster_id NULL, or the "-1" label — see clustered()) contributes
+    no pairs on its side.
 
     Returns one row: (n_pairs_ref, n_pairs_test, n_pairs_both,
     precision, recall, f1) where precision/recall grade `test`
@@ -306,8 +310,11 @@ def cluster_agreement(ref: DataFrame, test: DataFrame,
                     (F.col(c).cast("decimal(38,0)") - 1) / 2)
 
     def side(df: DataFrame, tag: str) -> DataFrame:
-        return (df.where(F.col(cluster_col).isNotNull() &
-                         (F.col(cluster_col) >= 0))
+        # clustered() handles BOTH cluster-id conventions; a numeric
+        # `>= 0` here would CAST_INVALID_INPUT under ANSI mode on the
+        # engine-default STRING representative ids (silently NULL-drop
+        # every row with ANSI off — precision/recall would read 0)
+        return (df.where(clustered(cluster_col))
                 .select(F.col(id_col).alias("_id"),
                         F.col(cluster_col).alias(f"c_{tag}")))
 
