@@ -184,6 +184,12 @@ def pcm_allclose_snr(pcm_a: np.ndarray, sr_a: int, pcm_b: np.ndarray, sr_b: int,
     Tries both polarities of which side is 'reference' and takes the max
     (SNR is asymmetric in the denominator's favor).
     """
+    if pcm_a.size == 0 or pcm_b.size == 0:
+        # honor the (bool, float) contract before resampling: np.interp
+        # raises on an empty sample array, and snr_db already defines
+        # any empty side as -inf (an all-silent clip can legitimately
+        # trim to zero samples — see trim_silence)
+        return False, float("-inf")
     if sr_a != sr_b:
         pcm_b = resample_linear(pcm_b, sr_b, sr_a)
     s = max(snr_db(pcm_a, pcm_b), snr_db(pcm_b, pcm_a))

@@ -75,13 +75,41 @@ class DedupPipeline:
                        sum(n for _, n in part_rows), len(part_rows))
         return out
 
+    def _stage_params_match(self, name: str, params: dict) -> bool:
+        """True iff the stored `<name>_params` marker equals `params`.
+        Missing marker = unknown provenance = no match (rebuild): the
+        marker is written AFTER the stage table, so a crash in between
+        errs toward recomputing, never toward serving a stale table."""
+        import json as _json
+        pstage = f"{name}_params"
+        if not self.store.exists(pstage):
+            return False
+        rows = self.store.read(pstage).collect()
+        return bool(rows) and _json.loads(rows[0].params) == params
+
+    def _write_stage_params(self, name: str, params: dict) -> None:
+        import json as _json
+        self.store.write(f"{name}_params",
+                         local_rows_df(self.spark,
+                                       [(_json.dumps(params, sort_keys=True),)],
+                                       "params string"))
+
     def _stage(self, name: str, run_id: int, resume: bool, build,
-               migrate=None) -> tuple[DataFrame, int]:
+               migrate=None, params: dict | None = None
+               ) -> tuple[DataFrame, int]:
         """`migrate`: optional (df, run_id) -> df hook applied when a
         stored table is read back on resume — the per-stage place for
         stored-layout upgrades, so the generic runner never grows
-        stage-name special cases."""
-        if resume and self.store.exists(name):
+        stage-name special cases.
+
+        `params`: the stage's parameterization, for stages whose output
+        depends on caller arguments (e.g. clusters_sub on
+        max_cluster_size). Resume serves the stored table only when the
+        stored params marker matches; a param change rebuilds instead
+        of silently returning a table computed under different
+        arguments."""
+        if resume and self.store.exists(name) and (
+                params is None or self._stage_params_match(name, params)):
             df = self.store.read(name)
             if migrate is not None:
                 df = migrate(df, run_id)
@@ -93,6 +121,8 @@ class DedupPipeline:
             return df, sum(n for _, n in self.store.partition_rows(name))
         t0 = time.time()
         df = self.store.write(name, build())
+        if params is not None:
+            self._write_stage_params(name, params)
         # per-partition lineage from commit METADATA (parquet footers /
         # Iceberg manifests) — no job over the data, skew visible in
         # the lineage table, and the row count comes for free
@@ -133,7 +163,8 @@ class DedupPipeline:
             subdivided, _ = self._stage(
                 "clusters_sub", run_id, resume,
                 lambda: self._subdivide(clusters, edges, signed,
-                                        max_cluster_size))
+                                        max_cluster_size),
+                params={"max_cluster_size": max_cluster_size})
 
         stats = {
             "n_clips": n_clips,
@@ -256,9 +287,15 @@ class DedupPipeline:
         self.store.log(run_id, "candidates_inc", t0, n_cands_new, 0)
 
         t0 = time.time()
+        # eager: edges_new's plan reads the stored signed table, and
+        # commit_txn stages the signed append by moving part files into
+        # that very directory — materialize BEFORE the txn so
+        # correctness cannot depend on the txn's stage preparation
+        # order (commit_txn requires this of any df reading a table the
+        # txn touches; see its docstring)
         edges_new = build_edges(cands_new,
                                 signed_old.unionByName(signed_new),
-                                all_clips, cfg)
+                                all_clips, cfg).localCheckpoint(eager=True)
         # O(|new|) appends, never a rewrite of the corpus-sized stage
         # tables (Iceberg mode: snapshot appends). The edge union is
         # disjoint by construction: every incremental edge touches a
@@ -277,6 +314,24 @@ class DedupPipeline:
         cands_all = folded["candidates"]
         n_edges = sum(n for _, n in self.store.partition_rows("edges"))
         self.store.log(run_id, "edges_inc", t0, n_edges, 0)
+        return self._finish_fold(
+            run_id, signed_all, cands_all, edges_all,
+            {"n_new_clips": n_new,
+             "n_candidates": sum(
+                 n for _, n in self.store.partition_rows("candidates")),
+             "n_new_candidates": n_cands_new,
+             "n_edges": n_edges})
+
+    def _finish_fold(self, run_id: int, signed_all: DataFrame,
+                     cands_all: DataFrame, edges_all: DataFrame,
+                     extra_stats: dict) -> PipelineResult:
+        """Shared tail of every incremental-fold path (default, strict,
+        already-folded): cluster the folded edge table (an idempotent
+        overwrite), count from commit metadata, emit the final stats
+        row and flush lineage. `extra_stats` carries the path-specific
+        keys (n_new_clips / n_reverified_pairs / n_already_folded and
+        the candidate/edge counts the caller already knows)."""
+        cfg = self.cfg
         t0 = time.time()
         clusters = self.store.write(
             "clusters",
@@ -288,11 +343,7 @@ class DedupPipeline:
         self.store.log(run_id, "clusters_inc", t0, n_clips, 0)
         stats = {
             "n_clips": n_clips,
-            "n_new_clips": n_new,
-            "n_candidates": sum(
-                n for _, n in self.store.partition_rows("candidates")),
-            "n_new_candidates": n_cands_new,
-            "n_edges": n_edges,
+            **extra_stats,
             "n_clusters": clusters.where(clustered())
                                   .select("cluster_id").distinct().count(),
         }
@@ -347,32 +398,12 @@ class DedupPipeline:
         folded = self.store.commit_txn(
             appends={"signed": signed_new},
             rewrites={"candidates": cands_full, "edges": edges_full})
-        signed_all = folded["signed"]
-        cands_all = folded["candidates"]
-        edges_all = folded["edges"]
-        t0 = time.time()
-        clusters = self.store.write(
-            "clusters",
-            assign_clusters(signed_all.select("clip_id"),
-                            connected_components(
-                                edges_all.select("id_1", "id_2"), cfg),
-                            cfg))
-        n_clips = sum(n for _, n in self.store.partition_rows("signed"))
-        self.store.log(run_id, "clusters_inc", t0, n_clips, 0)
-        stats = {
-            "n_clips": n_clips,
-            "n_new_clips": n_new,
-            "n_candidates": n_cands,
-            "n_reverified_pairs": n_reverify,
-            "n_edges": n_edges,
-            "n_clusters": clusters.where(clustered())
-                                  .select("cluster_id").distinct().count(),
-        }
-        self.store.log(run_id, "pipeline_done", time.time(), n_clips, 0,
-                       **stats)
-        self.store.flush()
-        return PipelineResult(clusters=clusters, edges=edges_all,
-                              candidates=cands_all, stats=stats)
+        return self._finish_fold(
+            run_id, folded["signed"], folded["candidates"], folded["edges"],
+            {"n_new_clips": n_new,
+             "n_candidates": n_cands,
+             "n_reverified_pairs": n_reverify,
+             "n_edges": n_edges})
 
     def _refold_noop(self, run_id: int, n_batch: int) -> PipelineResult:
         """Finish a batch whose fold ALREADY committed: a prior
@@ -383,35 +414,15 @@ class DedupPipeline:
         Either way the fold is idempotent per batch: skip re-pairing
         entirely, recompute clusters from the stored edge table (an
         idempotent overwrite) and re-emit the final stats."""
-        cfg = self.cfg
-        t0 = time.time()
-        signed_all = self.store.read("signed")
-        edges_all = self.store.read("edges")
-        cands_all = self.store.read("candidates")
-        clusters = self.store.write(
-            "clusters",
-            assign_clusters(signed_all.select("clip_id"),
-                            connected_components(
-                                edges_all.select("id_1", "id_2"), cfg),
-                            cfg))
-        n_clips = sum(n for _, n in self.store.partition_rows("signed"))
-        self.store.log(run_id, "clusters_inc", t0, n_clips, 0)
-        stats = {
-            "n_clips": n_clips,
-            "n_new_clips": 0,
-            "n_already_folded": n_batch,
-            "n_candidates": sum(
-                n for _, n in self.store.partition_rows("candidates")),
-            "n_edges": sum(
-                n for _, n in self.store.partition_rows("edges")),
-            "n_clusters": clusters.where(clustered())
-                                  .select("cluster_id").distinct().count(),
-        }
-        self.store.log(run_id, "pipeline_done", time.time(), n_clips, 0,
-                       **stats)
-        self.store.flush()
-        return PipelineResult(clusters=clusters, edges=edges_all,
-                              candidates=cands_all, stats=stats)
+        return self._finish_fold(
+            run_id, self.store.read("signed"), self.store.read("candidates"),
+            self.store.read("edges"),
+            {"n_new_clips": 0,
+             "n_already_folded": n_batch,
+             "n_candidates": sum(
+                 n for _, n in self.store.partition_rows("candidates")),
+             "n_edges": sum(
+                 n for _, n in self.store.partition_rows("edges"))})
 
     def _subdivide(self, clusters: DataFrame, edges: DataFrame,
                    signed: DataFrame, max_size: int) -> DataFrame:
@@ -454,8 +465,13 @@ class DedupPipeline:
         from ..operators.model import (heuristic_labels, model_from_rows,
                                        model_to_rows, train_logistic)
         if resume and self.store.exists("model"):
-            return model_from_rows(
+            stored = model_from_rows(
                 (r.term, r.value) for r in self.store.read("model").collect())
+            if set(stored["coef"]) == set(feature_cols):
+                return stored
+            # feature set changed: the stored coefficients answer a
+            # different model — retrain instead of silently serving
+            # them (same contract as _stage's params marker)
         run_id = self.store.next_run_id()
         t0 = time.time()
         labeled = heuristic_labels(feats, feature_cols=tuple(feature_cols))

@@ -69,10 +69,20 @@ def _looks_like_namespace(base: str) -> bool:
 
 
 class CheckpointStore:
-    def __init__(self, spark: SparkSession, base: str):
+    def __init__(self, spark: SparkSession, base: str,
+                 use_iceberg: bool | None = None):
+        """`use_iceberg=None` (default) auto-detects: Iceberg classes on
+        the classpath AND a dotted, slash-free `base`. The heuristic can
+        misread a dotted local dirname (e.g. 'run.2026-08-19') as a
+        catalog namespace when Iceberg jars are present — pass
+        use_iceberg=False (or True) explicitly to pin the mode in any
+        deployment where both are plausible."""
         self.spark = spark
         self.base = base
-        self.use_iceberg = _iceberg_available(spark) and _looks_like_namespace(base)
+        if use_iceberg is None:
+            use_iceberg = (_iceberg_available(spark)
+                           and _looks_like_namespace(base))
+        self.use_iceberg = use_iceberg
         if not self.use_iceberg:
             if "://" in base:
                 # The parquet-mode store reads commit metadata via
@@ -223,9 +233,13 @@ class CheckpointStore:
         Parquet protocol (single-writer, local filesystem):
           1. prepare: append part files are MOVED into their stage dirs
              under the txn tag but NOT manifested; rewrite DataFrames
-             are written to sibling `.{stage}__txnrw_{tag}` dirs
-             (callers must eagerly materialize a rewrite df that reads
-             its own current table, as rewrite() requires);
+             are written to sibling `.{stage}__txnrw_{tag}` dirs.
+             CALLER CONTRACT: any DataFrame whose plan READS a table
+             this txn touches must be eagerly materialized first
+             (localCheckpoint) — stage preparation runs in dict order
+             and moves files into live table dirs, so a lazy plan
+             executed during a later stage's prepare could observe
+             uncommitted rows of an earlier one;
           2. commit point: `<base>/_txn_{tag}.json` is written
              (tmp + one rename — atomic on POSIX);
           3. apply: each append's names fold into its stage manifest;
@@ -400,6 +414,12 @@ class CheckpointStore:
         # that never reached their commit point — orphans
         for s in glob.glob(os.path.join(self.base, f".{stage}__txnrw_*")):
             shutil.rmtree(s, ignore_errors=True)
+        # ditto plain-rewrite staging dirs: a SIGKILL during rewrite()'s
+        # df.write skips its exception cleanup, and nothing else ever
+        # reclaims a corpus-sized half-written .{stage}__rewrite_* copy
+        # (single-writer contract: no rewrite is in flight during repair)
+        for s in glob.glob(os.path.join(self.base, f".{stage}__rewrite_*")):
+            shutil.rmtree(s, ignore_errors=True)
 
     def read(self, stage: str) -> DataFrame:
         if self.use_iceberg:
@@ -421,7 +441,12 @@ class CheckpointStore:
                 return int(prev or 0) + 1
             return 1
         m = self.path("metrics")
-        if os.path.exists(m) and os.listdir(m):
+        import glob
+        # require committed part files, not just a non-empty dir: a
+        # crash during the FIRST flush leaves metrics/ holding only
+        # _temporary, and read.parquet on that raises
+        # UNABLE_TO_INFER_SCHEMA — bricking every later resume
+        if glob.glob(os.path.join(m, "*.parquet")):
             prev = self.spark.read.parquet(m).agg(F.max("run_id")).collect()[0][0]
             return int(prev or 0) + 1
         return 1

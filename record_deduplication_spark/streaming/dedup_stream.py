@@ -38,10 +38,19 @@ def read_clip_stream(spark: SparkSession, path: str,
 
 def exact_dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Exact-dup suppression on (sha256(bytes), transcript) with bounded
-    state: duplicates arriving within the watermark horizon are dropped."""
-    keyed = stream.withColumn("dup_key",
-                              F.concat_ws("|", F.sha2("bytes", 256),
-                                          F.coalesce("transcript", F.lit(""))))
+    state: duplicates arriving within the watermark horizon are dropped.
+
+    Rows with NULL bytes (failed fetch/decode) cannot be byte-exact
+    duplicates of anything: their key falls back to the clip_id so two
+    distinct NULL-bytes clips sharing a transcript are never collapsed
+    (concat_ws silently SKIPS a NULL sha2, which would have keyed them
+    by transcript alone)."""
+    keyed = stream.withColumn(
+        "dup_key",
+        F.when(F.col("bytes").isNull(),
+               F.concat(F.lit("nullbytes|"), F.col("clip_id")))
+         .otherwise(F.concat_ws("|", F.sha2("bytes", 256),
+                                F.coalesce("transcript", F.lit("")))))
     return (keyed
             .withWatermark("ingest_ts", watermark)
             .dropDuplicatesWithinWatermark(["dup_key"])
@@ -146,6 +155,19 @@ def near_dup_suppress_stream(stream: DataFrame, hamming_k: int = 3,
         rows = {"clip_id": [], "block_key": [], "fp": [],
                 "novel": [], "n_seen": []}
         for pdf in pdfs:
+            # NULL fingerprints (failed extraction) cannot be Hamming-
+            # matched: pass them through as novel WITHOUT touching
+            # state. An unguarded int64 cast would map every NaN to the
+            # same garbage value (INT64_MIN), silently suppressing
+            # distinct clips as mutual near-duplicates.
+            null_mask = pdf[fp_col].isna()
+            for cid in pdf.loc[null_mask, "clip_id"]:
+                rows["clip_id"].append(cid)
+                rows["block_key"].append(key[0])
+                rows["fp"].append(None)
+                rows["novel"].append(True)
+                rows["n_seen"].append(n)
+            pdf = pdf.loc[~null_mask]
             fps = pdf[fp_col].to_numpy(dtype=np.int64)
             for cid, fp in zip(pdf["clip_id"], fps):
                 u = fp.astype(np.uint64)

@@ -102,3 +102,125 @@ def test_map_distinct_skips_null(spark):
     by = dict(zip(out["name"], out["up"]))
     assert by["A"] == "A" and by["b"] == "B"
     assert pd.isna(out[out["name"].isna()]["up"]).all()
+
+
+# ---------------------------------------------------------------------------
+# second review batch: checkpoint/streaming/audio/pipeline seams
+# ---------------------------------------------------------------------------
+
+def test_next_run_id_survives_torn_first_flush(spark, tmp_path):
+    """A crash during the FIRST metrics flush leaves metrics/ holding
+    only _temporary; next_run_id must return 1 instead of raising
+    UNABLE_TO_INFER_SCHEMA forever (bricked resume)."""
+    import os
+    from record_deduplication_spark.sources.checkpoint import CheckpointStore
+    st = CheckpointStore(spark, str(tmp_path / "wd"))
+    os.makedirs(os.path.join(st.path("metrics"), "_temporary"))
+    assert st.next_run_id() == 1
+    # and a real flush afterwards works + bumps the id
+    st.log(1, "stage", 0.0, 1, 1)
+    st.flush()
+    assert st.next_run_id() == 2
+
+
+def test_stream_null_fp_rows_pass_through_as_novel(spark, tmp_path):
+    """NULL fingerprints must not be int64-cast (NaN -> INT64_MIN would
+    collapse all of them into one 'duplicate'): each passes through
+    novel=True and never enters state."""
+    import os
+    import pandas as pd
+    from pyspark.sql import types as T
+    from record_deduplication_spark.streaming.dedup_stream import (
+        near_dup_suppress_stream)
+    base = str(tmp_path / "s")
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "o", "c"))
+    os.makedirs(in_dir)
+    pd.DataFrame({"clip_id": ["n1", "n2", "r1"],
+                  "block_key": ["A", "A", "A"],
+                  "fp": pd.array([None, None, 7], dtype="Int64")}
+                 ).to_parquet(os.path.join(in_dir, "f0.parquet"), index=False)
+    schema = T.StructType([T.StructField("clip_id", T.StringType()),
+                           T.StructField("block_key", T.StringType()),
+                           T.StructField("fp", T.LongType())])
+    q = (near_dup_suppress_stream(
+            spark.readStream.schema(schema).parquet(in_dir), hamming_k=3)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir).toPandas().set_index("clip_id")
+    assert bool(out.loc["n1", "novel"]) and bool(out.loc["n2", "novel"])
+    assert bool(out.loc["r1", "novel"])
+    # state holds ONLY the real fingerprint
+    assert int(out["n_seen"].max()) == 1
+
+
+def test_exact_dedup_stream_null_bytes_not_collapsed(spark, tmp_path):
+    """Two distinct NULL-bytes clips sharing a transcript must both
+    survive exact dedup (concat_ws would have silently keyed them by
+    transcript alone)."""
+    import os
+    import pandas as pd
+    from pyspark.sql import types as T
+    from record_deduplication_spark.streaming.dedup_stream import (
+        exact_dedup_stream)
+    base = str(tmp_path / "s")
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "o", "c"))
+    os.makedirs(in_dir)
+    pd.DataFrame({"clip_id": ["x1", "x2", "y1"],
+                  "bytes": [None, None, b"\x01\x02"],
+                  "transcript": ["same words", "same words", "other"]}
+                 ).to_parquet(os.path.join(in_dir, "f0.parquet"), index=False)
+    schema = T.StructType([T.StructField("clip_id", T.StringType()),
+                           T.StructField("bytes", T.BinaryType()),
+                           T.StructField("transcript", T.StringType())])
+    stream = (spark.readStream.schema(schema).parquet(in_dir)
+              .withColumn("ingest_ts", F.current_timestamp()))
+    q = (exact_dedup_stream(stream)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got["clip_id"]) == ["x1", "x2", "y1"]
+
+
+def test_pcm_allclose_snr_empty_vs_resample(spark):
+    """Empty PCM + differing sample rates: the (bool, float) contract
+    must hold (np.interp raised on the empty sample array before)."""
+    import numpy as np
+    from record_deduplication_spark.functions.audio import pcm_allclose_snr
+    ok, s = pcm_allclose_snr(np.zeros(0, dtype=np.float64), 8000,
+                             np.ones(16, dtype=np.float64) * 0.5, 16000)
+    assert ok is False and s == float("-inf")
+    ok2, s2 = pcm_allclose_snr(np.ones(16) * 0.5, 16000,
+                               np.zeros(0), 8000)
+    assert ok2 is False and s2 == float("-inf")
+
+
+def test_clusters_sub_rebuilds_on_param_change(spark, tmp_path):
+    """resume=True must not serve a clusters_sub table computed under a
+    DIFFERENT max_cluster_size."""
+    from record_deduplication_spark.datagen import generate_clips
+    from record_deduplication_spark.plans.pipeline import DedupPipeline
+    clips_pdf, _ = generate_clips(n_clips=120, seed=13)
+    clips = spark.createDataFrame(clips_pdf)
+    wd = str(tmp_path / "wd")
+    r1 = DedupPipeline(spark, wd).run(clips, resume=False,
+                                      max_cluster_size=500)
+    sizes1 = (r1.subdivided.where(F.col("cluster_key").isNotNull())
+              .groupBy("cluster_key").count()
+              .agg(F.max("count")).collect()[0][0])
+    r2 = DedupPipeline(spark, wd).run(clips, resume=True,
+                                      max_cluster_size=2)
+    sizes2 = (r2.subdivided.where(F.col("cluster_key").isNotNull())
+              .groupBy("cluster_key").count().agg(F.max("count"))
+              .collect()[0][0])
+    assert sizes2 <= 2 or sizes2 < sizes1  # rebuilt under the new bound
+    # same params -> served from store (marker matches)
+    r3 = DedupPipeline(spark, wd).run(clips, resume=True,
+                                      max_cluster_size=2)
+    assert (r3.subdivided.toPandas().sort_values("clip_id")
+            .reset_index(drop=True)
+            .equals(r2.subdivided.toPandas().sort_values("clip_id")
+                    .reset_index(drop=True)))
