@@ -11,8 +11,9 @@ line:
 --scaling mode: runs the same e2e dedup job at two parallelism levels
 (local[8] vs local[32]) on identical input via subprocesses and prints
 throughput at both + scaling efficiency (the sandbox evidence for the
-north rule's N->4N executor criterion); also refreshes
-BENCH/BASELINE.md.
+north rule's N->4N executor criterion), writing/merging the cumulative
+artifact BENCH/scaling.json (BENCH/BASELINE.md is narrative and
+hand-maintained).
 """
 
 from __future__ import annotations
@@ -315,22 +316,8 @@ def _scaling_child(cores: int, n_clips: int) -> dict:
     visible in the recorded artifact."""
     import shutil
     import tempfile
-    import threading
-
-    import numpy as np
 
     from record_deduplication_spark.session import build_session
-
-    probes: list[float] = []
-    stop = threading.Event()
-
-    def _probe():
-        x = np.arange(3_000_000, dtype=np.float64)
-        while not stop.is_set():
-            t0 = time.time()
-            np.sin(x).sum()
-            probes.append(time.time() - t0)
-            stop.wait(1.5)
 
     spark = build_session(app=f"scale{cores}", master=f"local[{cores}]",
                           shuffle_partitions=cores)
@@ -338,17 +325,19 @@ def _scaling_child(cores: int, n_clips: int) -> dict:
     corpus = _corpus_dir(n_clips, dur_min_ms=SCALING_DUR[0], dur_max_ms=SCALING_DUR[1],
                          sharded=True)
     workdir = tempfile.mkdtemp(prefix=f"scale_{cores}_")
-    threading.Thread(target=_probe, daemon=True).start()
+    # ONE probe implementation for the sweep and the scaling children
+    # (the docstrings promise 'the identical probe op' cross-leg — a
+    # second inline copy could silently diverge)
+    probe = _NoiseProbe().start()
     try:
         e2e = run_dedup_e2e(spark, corpus, workdir)
     finally:
-        stop.set()
+        noise = probe.stop()
         shutil.rmtree(workdir, ignore_errors=True)
-    noise_p50 = sorted(probes)[len(probes) // 2] if probes else None
     print(json.dumps({"cores": cores, "sec": e2e["sec"],
                       "clips_per_sec": e2e["clips_per_sec"],
                       "stages": e2e["stages"],
-                      "host_noise_probe_p50_s": noise_p50}))
+                      "host_noise_probe_p50_s": noise["p50_s"]}))
     spark.stop()
     return e2e
 
@@ -382,6 +371,25 @@ def _taskset(cores: int) -> list[str]:
     if _sh.which("taskset"):
         return ["taskset", "-c", f"0-{cores - 1}"]
     return []
+
+
+def _run_child(cmd_tail: list[str], cores: int, label: str) -> dict | None:
+    """Run a pinned bench child, retrying once; parse its LAST JSON
+    stdout line. Returns None when both attempts fail OR a 0-exit child
+    produced no JSON line (lost stdout must skip the rep slot, not
+    IndexError a 30-minute run after all its measurements succeeded)."""
+    for attempt in (1, 2):
+        r = subprocess.run(_taskset(cores) + [sys.executable, __file__,
+                                              *cmd_tail],
+                           capture_output=True, text=True)
+        lines = [l for l in r.stdout.strip().splitlines()
+                 if l.startswith("{")]
+        if r.returncode == 0 and lines:
+            return json.loads(lines[-1])
+        print(json.dumps({label: cores, "attempt": attempt, "failed": True,
+                          "no_json": r.returncode == 0 and not lines,
+                          "stderr_tail": r.stderr[-500:]}), file=sys.stderr)
+    return None
 
 
 def _ceiling_child(cores: int) -> None:
@@ -421,21 +429,11 @@ def _spark_ceiling(lo: int, hi: int) -> dict | None:
     None) so scaling() can min-merge them with the other sample."""
     secs = {}
     for cores in (lo, hi):
-        for attempt in (1, 2):  # same retry-or-skip treatment as the
-            # scaling children: a transient JVM failure in a ceiling
-            # sample must not abort a 30-min run's measurements
-            r = subprocess.run(
-                _taskset(cores) + [sys.executable, __file__, "--ceiling-child", str(cores)],
-                capture_output=True, text=True)
-            if r.returncode == 0:
-                break
-            print(json.dumps({"ceiling_cores": cores, "attempt": attempt,
-                              "failed": True, "stderr_tail": r.stderr[-500:]}),
-                  file=sys.stderr)
-        else:
+        child = _run_child(["--ceiling-child", str(cores)], cores,
+                           "ceiling_cores")
+        if child is None:
             continue  # this core level failed twice; keep the other
-        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
-        secs[cores] = json.loads(line)["sec"]
+        secs[cores] = child["sec"]
     if not secs:
         return None  # caller falls back to the other sample
     return {"sec": {str(c): round(s, 2) for c, s in secs.items()},
@@ -493,24 +491,13 @@ def scaling(n_clips: int = 24000, reps: int = 3,
     stage_best: dict[int, dict[str, float]] = {lo: {}, hi: {}}
     for rep in range(reps):
         for cores in (lo, hi):
-            for attempt in (1, 2):  # a transient child failure (host
-                # pressure, JVM startup) must not void a 30-min run
-                # default 16g heap: a 40g heap measured ~35% SLOWER on
-                # the same window (G1 with a huge mostly-empty heap
-                # commits more memory and degrades cache locality)
-                r = subprocess.run(
-                    _taskset(cores) + [sys.executable, __file__,
-                                       "--scaling-child", str(cores), str(n_clips)],
-                    capture_output=True, text=True)
-                if r.returncode == 0:
-                    break
-                print(json.dumps({"rep": rep, "cores": cores,
-                                  "attempt": attempt, "failed": True,
-                                  "stderr_tail": r.stderr[-500:]}), file=sys.stderr)
-            else:
+            # note on heap: default 16g — a 40g heap measured ~35%
+            # SLOWER on the same window (G1 with a huge mostly-empty
+            # heap commits more memory and degrades cache locality)
+            child = _run_child(["--scaling-child", str(cores),
+                                str(n_clips)], cores, "cores")
+            if child is None:
                 continue  # both attempts failed: skip this rep slot
-            line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
-            child = json.loads(line)
             runs[cores].append(round(child["clips_per_sec"], 2))
             for st, sec in child.get("stages", {}).items():
                 stage_best[cores][st] = min(
@@ -542,6 +529,7 @@ def scaling(n_clips: int = 24000, reps: int = 3,
     # window, so the artifact is CUMULATIVE — every rep from every run
     # is kept and best-of is taken over the union (same rule as within
     # one run; all reps stay visible for transparency)
+    pinned = bool(_taskset(1))
     art_path = os.path.join(REPO, "BENCH", "scaling.json")
     if os.path.exists(art_path):
         try:
@@ -551,6 +539,12 @@ def scaling(n_clips: int = 24000, reps: int = 3,
         from record_deduplication_spark.datagen import DATAGEN_VERSION
         if (prev.get("n_clips") == n_clips
                 and prev.get("clip_dur_ms") == list(SCALING_DUR)
+                # pinning is part of the measured configuration: on a
+                # host without taskset an unpinned local[2] JVM soaks
+                # >2 cores, inflating the lo baseline — those reps must
+                # never merge into pinned history (all history to date
+                # is pinned, hence the True default)
+                and prev.get("pinned", True) == pinned
                 # corpus LAYOUT is part of the measured configuration:
                 # reps against a different physical layout (row-group /
                 # page-index spec) are not the same input and must not
@@ -576,6 +570,7 @@ def scaling(n_clips: int = 24000, reps: int = 3,
     from record_deduplication_spark.datagen import DATAGEN_VERSION as _dv
     result = {
         "metric": f"scaling_efficiency_local{lo}_to_local{hi}",
+        "pinned": pinned,
         "n_clips": n_clips,
         "clip_dur_ms": list(SCALING_DUR),
         "datagen_version": _dv,

@@ -65,7 +65,15 @@ def parse_config_overrides(pairs: list[str]):
                 raise SystemExit(f"--set {k} expects a number, got {v!r}")
         else:
             out[k] = v
-    return dataclasses.replace(DEFAULT_CONFIG, **out)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, **out)
+    # cross-field constraints validated HERE, at the CLI boundary: the
+    # lsh_rows property's assert would otherwise fire mid-pipeline (or
+    # vanish under python -O and silently change the band geometry)
+    if cfg.num_perm % cfg.lsh_bands != 0:
+        raise SystemExit(
+            f"--set: num_perm={cfg.num_perm} must be divisible by "
+            f"lsh_bands={cfg.lsh_bands} (rows per band must be integral)")
+    return cfg
 
 
 def make_pyfiles_zip(dest: str) -> str:
@@ -221,7 +229,8 @@ def main(argv: list[str] | None = None) -> int:
     pipe = DedupPipeline(spark, args.workdir, cfg)
     if args.incremental_input:
         res = pipe.run_incremental(_load(args.incremental_input),
-                                   all_clips=clips)
+                                   all_clips=clips,
+                                   max_cluster_size=args.max_cluster_size)
     else:
         res = pipe.run(clips, resume=args.resume,
                        max_cluster_size=args.max_cluster_size)

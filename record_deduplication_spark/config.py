@@ -65,7 +65,14 @@ class DedupConfig:
 
     @property
     def lsh_rows(self) -> int:
-        assert self.num_perm % self.lsh_bands == 0
+        # ValueError, not assert: must survive python -O (a silently
+        # truncated rows-per-band changes band geometry and breaks
+        # oracle/engine parity); the CLI validates this at parse time
+        # too, so interactive misconfigurations fail before any job
+        if self.num_perm % self.lsh_bands != 0:
+            raise ValueError(
+                f"num_perm={self.num_perm} must be divisible by "
+                f"lsh_bands={self.lsh_bands}")
         return self.num_perm // self.lsh_bands
 
     def to_dict(self) -> dict:

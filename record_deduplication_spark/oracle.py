@@ -195,7 +195,12 @@ def cluster_pairs(clusters: pd.DataFrame) -> set[tuple[str, str]]:
     accept either. This is the pair set dup-pair recall is measured
     on."""
     cid = clusters["cluster_id"]
-    clustered = cid.notna() & (cid.astype("string") != "-1")
+    # strip a float-typed '.0' before the noise compare: a pandas/
+    # parquet round-trip can promote densified long ids to float64, and
+    # '-1.0' != '-1' would pass every noise row into one giant pseudo-
+    # cluster, silently inflating recall
+    labels = cid.astype("string").str.replace(r"\.0$", "", regex=True)
+    clustered = cid.notna() & (labels != "-1")
     out: set[tuple[str, str]] = set()
     for _, grp in clusters[clustered].groupby("cluster_id"):
         m = sorted(grp["clip_id"])

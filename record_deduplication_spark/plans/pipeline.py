@@ -182,7 +182,9 @@ class DedupPipeline:
 
     def run_incremental(self, new_clips: DataFrame,
                         all_clips: DataFrame,
-                        strict: bool = False) -> PipelineResult:
+                        strict: bool = False,
+                        max_cluster_size: int | None = None
+                        ) -> PipelineResult:
         """Daily-ingest shape: fold a NEW batch into a completed run
         without re-pairing old x old (at 10^12 rows a full re-run
         re-verifies every pair the previous run already owns).
@@ -268,7 +270,7 @@ class DedupPipeline:
                     f"clip_ids already exist in the stored signed table "
                     f"— mixed re-ingest; dedup the id space upstream "
                     f"(streaming/dedup_stream.exact_dedup_stream)")
-            return self._refold_noop(run_id, n_batch)
+            return self._refold_noop(run_id, n_batch, max_cluster_size)
 
         t0 = time.time()
         signed_new = add_signatures(new_clips, cfg).localCheckpoint(eager=True)
@@ -278,7 +280,7 @@ class DedupPipeline:
 
         if strict:
             return self._fold_strict(signed_new, signed_old, all_clips,
-                                     run_id, n_new)
+                                     run_id, n_new, max_cluster_size)
 
         t0 = time.time()
         cands_new = B.incremental_candidates(signed_new, signed_old, cfg) \
@@ -320,11 +322,12 @@ class DedupPipeline:
              "n_candidates": sum(
                  n for _, n in self.store.partition_rows("candidates")),
              "n_new_candidates": n_cands_new,
-             "n_edges": n_edges})
+             "n_edges": n_edges}, max_cluster_size)
 
     def _finish_fold(self, run_id: int, signed_all: DataFrame,
                      cands_all: DataFrame, edges_all: DataFrame,
-                     extra_stats: dict) -> PipelineResult:
+                     extra_stats: dict,
+                     max_cluster_size: int | None = None) -> PipelineResult:
         """Shared tail of every incremental-fold path (default, strict,
         already-folded): cluster the folded edge table (an idempotent
         overwrite), count from commit metadata, emit the final stats
@@ -347,15 +350,25 @@ class DedupPipeline:
             "n_clusters": clusters.where(clustered())
                                   .select("cluster_id").distinct().count(),
         }
+        subdivided = None
+        if max_cluster_size is not None:
+            # resume=False: the cluster table just changed under this
+            # fold, so any stored clusters_sub is stale by construction
+            subdivided, _ = self._stage(
+                "clusters_sub", run_id, False,
+                lambda: self._subdivide(clusters, edges_all, signed_all,
+                                        max_cluster_size),
+                params={"max_cluster_size": max_cluster_size})
         self.store.log(run_id, "pipeline_done", time.time(), n_clips, 0,
                        **stats)
         self.store.flush()
         return PipelineResult(clusters=clusters, edges=edges_all,
-                              candidates=cands_all, stats=stats)
+                              candidates=cands_all, stats=stats,
+                              subdivided=subdivided)
 
     def _fold_strict(self, signed_new: DataFrame, signed_old: DataFrame,
-                     all_clips: DataFrame, run_id: int,
-                     n_new: int) -> PipelineResult:
+                     all_clips: DataFrame, run_id: int, n_new: int,
+                     max_cluster_size: int | None = None) -> PipelineResult:
         """Strict branch of run_incremental: exact-equality fold.
 
         Kept-pair edges are carried over only where the pair's
@@ -403,9 +416,10 @@ class DedupPipeline:
             {"n_new_clips": n_new,
              "n_candidates": n_cands,
              "n_reverified_pairs": n_reverify,
-             "n_edges": n_edges})
+             "n_edges": n_edges}, max_cluster_size)
 
-    def _refold_noop(self, run_id: int, n_batch: int) -> PipelineResult:
+    def _refold_noop(self, run_id: int, n_batch: int,
+                     max_cluster_size: int | None = None) -> PipelineResult:
         """Finish a batch whose fold ALREADY committed: a prior
         run_incremental crashed after its cross-stage fold transaction
         (signed/candidates/edges all contain the batch — commit_txn is
@@ -422,7 +436,8 @@ class DedupPipeline:
              "n_candidates": sum(
                  n for _, n in self.store.partition_rows("candidates")),
              "n_edges": sum(
-                 n for _, n in self.store.partition_rows("edges"))})
+                 n for _, n in self.store.partition_rows("edges"))},
+            max_cluster_size)
 
     def _subdivide(self, clusters: DataFrame, edges: DataFrame,
                    signed: DataFrame, max_size: int) -> DataFrame:

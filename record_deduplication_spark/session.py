@@ -30,10 +30,15 @@ def build_session(app: str = "record_dedup_spark", master: str | None = None,
             "SPARK_GRAFT_MASTER",
             None if submitted else
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', cores)}]")
-    if shuffle_partitions is None and master is not None:
-        # local[N] / local[N,maxFailures] / local[*]
+    if (shuffle_partitions is None and master is not None
+            and master.startswith("local")):
+        # local[N] / local[N,maxFailures] / local[*] / bare "local".
+        # ONLY local masters get a derived default: a cluster master
+        # (spark://, yarn, k8s — incl. via SPARK_GRAFT_MASTER) must not
+        # have its shuffle width pinned to THIS driver machine's core
+        # count; it is left to the submit conf as documented.
         n = (master.split("[")[-1].rstrip("]").split(",")[0]
-             if "[" in master else str(cores))
+             if "[" in master else "1")
         shuffle_partitions = cores if n == "*" else max(int(n), 4)
     b = SparkSession.builder.appName(app)
     if master is not None:

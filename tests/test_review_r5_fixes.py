@@ -224,3 +224,85 @@ def test_clusters_sub_rebuilds_on_param_change(spark, tmp_path):
             .reset_index(drop=True)
             .equals(r2.subdivided.toPandas().sort_values("clip_id")
                     .reset_index(drop=True)))
+
+
+# ---------------------------------------------------------------------------
+# third review batch: session/cli/config/oracle/bench-tooling seams
+# ---------------------------------------------------------------------------
+
+def test_session_no_shuffle_default_for_cluster_masters(monkeypatch):
+    """A cluster master (spark://, yarn) must NOT have shuffle
+    partitions derived from this driver machine's core count — only
+    local masters get the derived default."""
+    import inspect
+    from record_deduplication_spark import session as S
+    src = inspect.getsource(S.build_session)
+    # pin the guard: the derivation branch requires a local master
+    assert 'master.startswith("local")' in src
+    # and a local master still derives as before
+    captured = {}
+    real_builder = S.SparkSession.builder
+
+    class FakeBuilder:
+        def appName(self, *_): return self
+        def master(self, m): captured["master"] = m; return self
+        def config(self, k, v=None):
+            captured[k] = v
+            return self
+        def getOrCreate(self): raise RuntimeError("stop-here")
+    monkeypatch.setattr(S.SparkSession, "builder", FakeBuilder())
+    try:
+        with pytest.raises(RuntimeError, match="stop-here"):
+            S.build_session(master="spark://head:7077")
+    finally:
+        monkeypatch.setattr(S.SparkSession, "builder", real_builder)
+    assert "spark.sql.shuffle.partitions" not in captured
+
+
+def test_lsh_rows_raises_not_asserts():
+    from record_deduplication_spark.config import DEFAULT_CONFIG
+    import dataclasses
+    bad = dataclasses.replace(DEFAULT_CONFIG, num_perm=60, lsh_bands=16)
+    with pytest.raises(ValueError, match="divisible"):
+        _ = bad.lsh_rows
+
+
+def test_cli_rejects_indivisible_num_perm():
+    from record_deduplication_spark.cli import parse_config_overrides
+    with pytest.raises(SystemExit, match="divisible"):
+        parse_config_overrides(["num_perm=60"])
+    cfg = parse_config_overrides(["num_perm=32", "lsh_bands=8"])
+    assert cfg.lsh_rows == 4
+
+
+def test_oracle_cluster_pairs_float_noise_label():
+    """Float-typed noise (-1.0 from a pandas/parquet dtype promotion)
+    must be excluded like integer -1, not grouped into one giant
+    pseudo-cluster."""
+    from record_deduplication_spark.oracle import cluster_pairs
+    df = pd.DataFrame({"clip_id": ["a", "b", "c", "d"],
+                       "cluster_id": [3.0, 3.0, -1.0, -1.0]})
+    assert cluster_pairs(df) == {("a", "b")}
+
+
+def test_incremental_max_cluster_size(spark, tmp_path):
+    """run_incremental(max_cluster_size=...) subdivides the folded
+    clusters instead of silently ignoring the argument (the CLI passes
+    it through)."""
+    import pandas as pd
+    from record_deduplication_spark.datagen import generate_clips
+    from record_deduplication_spark.plans.pipeline import DedupPipeline
+    base_pdf, _ = generate_clips(n_clips=120, seed=17)
+    batch_pdf, _ = generate_clips(n_clips=30, seed=18)
+    batch_pdf["clip_id"] = ["new_" + c for c in batch_pdf["clip_id"]]
+    wd = str(tmp_path / "wd")
+    pipe = DedupPipeline(spark, wd)
+    pipe.run(spark.createDataFrame(base_pdf), resume=False)
+    all_df = spark.createDataFrame(
+        pd.concat([base_pdf, batch_pdf], ignore_index=True))
+    res = pipe.run_incremental(spark.createDataFrame(batch_pdf), all_df,
+                               max_cluster_size=2)
+    assert res.subdivided is not None
+    sizes = (res.subdivided.where(F.col("cluster_key").isNotNull())
+             .groupBy("cluster_key").count().toPandas()["count"])
+    assert len(sizes) == 0 or sizes.max() <= 2
