@@ -46,8 +46,12 @@ from ..config import DedupConfig
 PAIR_COLS = ("id_1", "id_2", "source")
 
 
-def block_members(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Union of all block families as (clip_id, source, bkey)."""
+def block_members(signed: DataFrame) -> DataFrame:
+    """Union of all block families as (clip_id, source, bkey).
+
+    Takes no config: every block key derives from columns the signature
+    scan already baked cfg into (band_hashes, fp_bands, lgram_hashes) —
+    changing cfg here would NOT change blocking; re-sign instead."""
     exact = (signed
              .where(F.col("sha_bytes").isNotNull())
              .select("clip_id", F.lit("exact").alias("source"),
@@ -194,8 +198,8 @@ def incremental_candidates(new_signed: DataFrame, old_signed: DataFrame,
     before connected_components to get updated clusters. Work scales
     with |new| + |old members sharing a block with new|, never |old|^2.
     """
-    mn = block_members(new_signed, cfg)
-    mo = block_members(old_signed, cfg)
+    mn = block_members(new_signed)
+    mo = block_members(old_signed)
     active = mn.select("source", "bkey").distinct()
     mo_active = mo.join(active, ["source", "bkey"], "leftsemi")
     pairs = pairs_within_blocks(mn.unionByName(mo_active), cfg)
@@ -244,8 +248,8 @@ def incremental_candidates_strict(new_signed: DataFrame,
     pairs in place, in which case this mode restores exact equality
     going forward but does not retroactively repair them.
     """
-    mn = block_members(new_signed, cfg)
-    mo = block_members(old_signed, cfg).localCheckpoint(eager=True)
+    mn = block_members(new_signed)
+    mo = block_members(old_signed).localCheckpoint(eager=True)
     active = mn.select("source", "bkey").distinct()
     # every old member of an active block (leftsemi keeps all members,
     # so per-block sizes computed inside pairs_within_blocks equal the
@@ -326,7 +330,7 @@ def _sources_agg(pairs: DataFrame) -> DataFrame:
 
 def generate_candidates(signed: DataFrame, cfg: DedupConfig) -> DataFrame:
     """B1-B5 in one pass: members -> pairs -> per-pair source set."""
-    return _sources_agg(pairs_within_blocks(block_members(signed, cfg), cfg))
+    return _sources_agg(pairs_within_blocks(block_members(signed), cfg))
 
 
 def reduction_ratio(n_records: int, n_pairs: int) -> float:

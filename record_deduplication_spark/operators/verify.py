@@ -55,6 +55,10 @@ from ..functions.suffix_array import longest_common_run
 # bytes column, but bytes still never shuffle.
 _IDS_PUSHDOWN_MAX = 1_000
 _IDS_PUSHDOWN_BATCHES = 32
+# above this many survivor ids, even a broadcast of the narrow id list
+# risks Spark's 8 GB broadcast cap / driver heap; degrade to a shuffled
+# semi-join instead of crashing (pathological-corpus path only)
+_BROADCAST_IDS_MAX = 50_000_000
 
 
 def jaccard_expr(sh1, sh2):
@@ -86,8 +90,10 @@ def jaro_winkler_udf():
     return _jw
 
 
-def common_run_udf(cfg: DedupConfig):
-    """Longest shared contiguous token run, via generalized suffix array."""
+def common_run_udf():
+    """Longest shared contiguous token run, via generalized suffix
+    array. Takes no config: cfg.substring_min_tokens is applied at the
+    verdict comparison, not inside the kernel."""
 
     @F.pandas_udf(T.IntegerType())
     def _run(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -216,7 +222,7 @@ def verify_text(cands: DataFrame, signed: DataFrame, cfg: DedupConfig) -> DataFr
     no_run = rest.where(~has("substring")).withColumn("common_run",
                                                       F.lit(None).cast("int"))
     ran = (needs_run.withColumn(
-        "common_run", common_run_udf(cfg)(F.col("norm_1"), F.col("norm_2")))
+        "common_run", common_run_udf()(F.col("norm_1"), F.col("norm_2")))
         .drop("norm_1", "norm_2"))
     undecided = (ran.unionByName(no_run)
                  .withColumn("verdict",
@@ -292,9 +298,17 @@ def verify_audio(pending: DataFrame, clips: DataFrame, cfg: DedupConfig) -> Data
     id_rows = ids.limit(max_ids + 1).collect()
     if len(id_rows) <= max_ids:
         sub = fetch_payloads(clips, sorted(r.clip_id for r in id_rows))
-    else:
+    elif ids.count() <= _BROADCAST_IDS_MAX:
         sub = clips.select("clip_id", "bytes").join(F.broadcast(ids),
                                                     "clip_id")
+    else:
+        # truly pathological survivor set (10^8+): a broadcast this
+        # size would blow Spark's 8 GB broadcast cap / driver heap.
+        # Degrade to a shuffled semi-join — at THIS survivor scale the
+        # pair join below co-locates the surviving bytes by key anyway,
+        # so the one extra byte exchange is the price of completing
+        # instead of crashing
+        sub = clips.select("clip_id", "bytes").join(ids, "clip_id")
     # the filtered scan keeps the source's partitioning (hundreds of
     # mostly-emptied splits when ids are scattered); compact to session
     # parallelism BEFORE pinning, or every downstream pass over `sub`

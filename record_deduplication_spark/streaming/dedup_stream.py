@@ -155,11 +155,12 @@ def near_dup_suppress_stream(stream: DataFrame, hamming_k: int = 3,
         rows = {"clip_id": [], "block_key": [], "fp": [],
                 "novel": [], "n_seen": []}
         for pdf in pdfs:
-            # NULL fingerprints (failed extraction) cannot be Hamming-
-            # matched: pass them through as novel WITHOUT touching
-            # state. An unguarded int64 cast would map every NaN to the
-            # same garbage value (INT64_MIN), silently suppressing
-            # distinct clips as mutual near-duplicates.
+            # Defense-in-depth only: the wrapper filters NULL fps out
+            # BEFORE this operator (one NULL makes Arrow deliver the
+            # whole column as float64, rounding |fp| > 2^53 — see
+            # near_dup_suppress_stream), so this mask should never
+            # match; if it somehow does, pass those rows through as
+            # novel without the garbage INT64_MIN cast.
             null_mask = pdf[fp_col].isna()
             for cid in pdf.loc[null_mask, "clip_id"]:
                 rows["clip_id"].append(cid)
@@ -192,11 +193,26 @@ def near_dup_suppress_stream(stream: DataFrame, hamming_k: int = 3,
                       .view(np.int64).tolist(),))
         yield pd.DataFrame(rows)
 
-    return (stream
-            .groupBy(key_col)
-            .applyInPandasWithState(
-                suppress, NEARDUP_OUT_SCHEMA, "fps array<long>",
-                "append", GroupStateTimeout.NoTimeout))
+    # NULL fingerprints are routed AROUND the stateful operator, not
+    # just skipped inside it: one NULL in a micro-batch group makes
+    # Arrow hand the kernel the whole fp column as float64, rounding
+    # every |fp| > 2^53 (real simhash values) so distinct fingerprints
+    # collide and get wrongly suppressed — verified by repro in this
+    # container. Filtering nulls upstream keeps each Arrow batch pure
+    # int64 (exact); null-fp rows pass through novel=true with
+    # n_seen NULL (no state snapshot applies to them).
+    matched = (stream.where(F.col(fp_col).isNotNull())
+               .groupBy(key_col)
+               .applyInPandasWithState(
+                   suppress, NEARDUP_OUT_SCHEMA, "fps array<long>",
+                   "append", GroupStateTimeout.NoTimeout))
+    passthrough = (stream.where(F.col(fp_col).isNull())
+                   .select(F.col("clip_id"),
+                           F.col(key_col).alias("block_key"),
+                           F.col(fp_col).cast("bigint").alias("fp"),
+                           F.lit(True).alias("novel"),
+                           F.lit(None).cast("int").alias("n_seen")))
+    return matched.unionByName(passthrough)
 
 
 def run_batchwise(spark: SparkSession, in_path: str, out_path: str,

@@ -104,7 +104,7 @@ def test_block_members_explode_no_early_shuffle(spark, tmpdir_session):
     clips = spark.read.parquet(cp)
     signed = add_signatures(clips, DEFAULT_CONFIG)
     # member explode itself must be shuffle-free (map-side only)
-    plan = _plan(block_members(signed, DEFAULT_CONFIG))
+    plan = _plan(block_members(signed))
     body = plan.split("MapInPandas")[0]
     assert "Exchange" not in body
 

@@ -306,3 +306,43 @@ def test_incremental_max_cluster_size(spark, tmp_path):
     sizes = (res.subdivided.where(F.col("cluster_key").isNotNull())
              .groupBy("cluster_key").count().toPandas()["count"])
     assert len(sizes) == 0 or sizes.max() <= 2
+
+
+def test_stream_big_fp_exact_with_null_in_batch(spark, tmp_path):
+    """One NULL fp in a micro-batch must not corrupt the OTHER
+    fingerprints: Arrow renders a nullable long column as float64,
+    rounding |fp| > 2^53 so distinct simhash values collide (verified:
+    two fps differing in bit 8 both became the same float and one was
+    wrongly suppressed at hamming_k=0). Nulls are now routed around
+    the stateful operator."""
+    import os
+    import pandas as pd
+    from pyspark.sql import types as T
+    from record_deduplication_spark.streaming.dedup_stream import (
+        near_dup_suppress_stream)
+    big1 = (1 << 62) + 1
+    big2 = big1 + (1 << 8)  # differs in one low bit: Hamming 1 > k=0
+    base = str(tmp_path / "s")
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "o", "c"))
+    os.makedirs(in_dir)
+    pd.DataFrame({"clip_id": ["a", "b", "n"],
+                  "block_key": ["A", "A", "A"],
+                  "fp": pd.array([big1, big2, None], dtype="Int64")}
+                 ).to_parquet(os.path.join(in_dir, "f0.parquet"), index=False)
+    schema = T.StructType([T.StructField("clip_id", T.StringType()),
+                           T.StructField("block_key", T.StringType()),
+                           T.StructField("fp", T.LongType())])
+    q = (near_dup_suppress_stream(
+            spark.readStream.schema(schema).parquet(in_dir), hamming_k=0)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # collect(), not toPandas(): the NULL-fp passthrough row would make
+    # pandas render the OUTPUT column as float64 too, rounding at
+    # display time and masking whether the stored values are exact
+    out = {r.clip_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert out["a"].fp == big1
+    assert out["b"].fp == big2  # bit-exact, not float-rounded
+    assert out["a"].novel and out["b"].novel
+    assert out["n"].novel and out["n"].fp is None
