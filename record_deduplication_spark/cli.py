@@ -110,6 +110,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "appends, no old x old re-pairing); --input must "
                          "then be the FULL corpus including the batch — the "
                          "payload source for old x new audio verification")
+    ap.add_argument("--incremental-strict", action="store_true",
+                    help="with --incremental-input: re-pair every block the "
+                         "batch touches over its COMBINED members so the "
+                         "folded candidates/edges are pair-for-pair equal to "
+                         "a from-scratch run (audit mode; costs "
+                         "O(touched-block^2) extra verification for no "
+                         "recall gain — cluster assignments already match "
+                         "without it)")
     ap.add_argument("--master", default=None,
                     help="only for local runs; under spark-submit leave unset")
     ap.add_argument("--json-out", default=None,
@@ -230,6 +238,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.incremental_input:
         res = pipe.run_incremental(_load(args.incremental_input),
                                    all_clips=clips,
+                                   strict=args.incremental_strict,
                                    max_cluster_size=args.max_cluster_size)
     else:
         res = pipe.run(clips, resume=args.resume,

@@ -117,6 +117,21 @@ def test_cli_incremental_mode(tmp_path, spark):
           .reset_index(drop=True)
     assert a.equals(b)
 
+    # --incremental-strict reaches the strict fold (audit mode): the
+    # same batch folded strictly into a fresh copy of the base run
+    # reports a reverified-pair count and identical clusters
+    wd_strict = str(tmp_path / "wd_strict")
+    out_strict = str(tmp_path / "strict.json")
+    assert main(["--input", oldp, "--workdir", wd_strict]) == 0
+    assert main(["--input", allp, "--workdir", wd_strict,
+                 "--incremental-input", newp, "--incremental-strict",
+                 "--json-out", out_strict]) == 0
+    st = json.load(open(out_strict))
+    assert "n_reverified_pairs" in st  # strict path ran
+    c = pd.read_parquet(f"{wd_strict}/clusters").sort_values("clip_id") \
+          .reset_index(drop=True)
+    assert a.equals(c)
+
 
 def test_cli_decontaminate_mode(tmp_path, spark):
     """--decontaminate-eval: reports overlap of an eval set's
