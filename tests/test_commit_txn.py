@@ -266,3 +266,102 @@ def test_mixed_reingest_fails_loudly(spark, folded_state, tmp_path):
     all_df = spark.createDataFrame(folded_state["all"])
     with pytest.raises(ValueError, match="mixed re-ingest"):
         DedupPipeline(spark, wd).run_incremental(mixed, all_df)
+
+
+def test_commit_txn_crash_sweep_every_fs_op(spark, tmp_path, monkeypatch):
+    """Systematic crash-point sweep: inject a failure at EVERY python-
+    side filesystem mutation (rename/remove) commit_txn performs, in
+    order, and assert after each that repair leaves the store in a
+    consistent all-or-nothing state — every stage pre-txn or every
+    stage post-txn, never mixed — and that re-running the same txn
+    converges to the post state. This covers orderings the named
+    crash-window tests don't enumerate."""
+    import json
+    import shutil
+
+    from record_deduplication_spark.sources.checkpoint import CheckpointStore
+
+    seed = str(tmp_path / "seed")
+    st0 = CheckpointStore(spark, seed)
+    st0.write("a", spark.range(0, 10).selectExpr("id", "id * 2 AS v"))
+    st0.write("b", spark.range(0, 5).selectExpr("id", "id + 100 AS w"))
+
+    def txn(store):
+        return store.commit_txn(
+            appends={"a": spark.range(10, 13).selectExpr("id",
+                                                         "id * 2 AS v")},
+            rewrites={"b": spark.range(50, 53).selectExpr("id",
+                                                          "id + 100 AS w")})
+
+    PRE_A, POST_A = list(range(10)), list(range(13))
+    PRE_B, POST_B = list(range(5)), [50, 51, 52]
+
+    def ids(store, stage):
+        return sorted(r.id for r in store.read(stage).collect())
+
+    # pass 0: count the fs mutations of one successful txn
+    real_rename, real_remove = os.rename, os.remove
+    wd = str(tmp_path / "count")
+    shutil.copytree(seed, wd)
+    counter = {"n": 0, "active": False, "die_at": None}
+
+    def _maybe_die(kind, path):
+        if counter["active"] and wd_cur[0] in str(path):
+            if counter["die_at"] is not None \
+                    and counter["n"] == counter["die_at"]:
+                raise OSError(f"injected crash at fs op {counter['n']} "
+                              f"({kind} {os.path.basename(str(path))})")
+            counter["n"] += 1
+
+    def frename(a, b):
+        _maybe_die("rename", b)
+        return real_rename(a, b)
+
+    def fremove(p):
+        _maybe_die("remove", p)
+        return real_remove(p)
+
+    monkeypatch.setattr(os, "rename", frename)
+    monkeypatch.setattr(os, "remove", fremove)
+
+    wd_cur = [wd]
+    counter.update(n=0, active=True, die_at=None)
+    txn(CheckpointStore(spark, wd))
+    counter["active"] = False
+    n_ops = counter["n"]
+    assert n_ops >= 4, f"expected several fs ops, counted {n_ops}"
+
+    results = []
+    for i in range(n_ops):
+        wd_i = str(tmp_path / f"c{i}")
+        shutil.copytree(seed, wd_i)
+        wd_cur[0] = wd_i
+        store = CheckpointStore(spark, wd_i)
+        counter.update(n=0, active=True, die_at=i)
+        with pytest.raises(OSError, match="injected crash"):
+            txn(store)
+        counter["active"] = False
+
+        # a fresh store's exists() runs every repair path
+        store2 = CheckpointStore(spark, wd_i)
+        assert store2.exists("a") and store2.exists("b")
+        a_state, b_state = ids(store2, "a"), ids(store2, "b")
+        assert a_state in (PRE_A, POST_A), (i, a_state)
+        assert b_state in (PRE_B, POST_B), (i, b_state)
+        committed = a_state == POST_A
+        assert (b_state == POST_B) == committed, (
+            f"crash at fs op {i}: MIXED state — a={'post' if committed else 'pre'} "
+            f"but b={'post' if b_state == POST_B else 'pre'}")
+        results.append(committed)
+
+        if not committed:
+            # pre-txn state: the caller's re-run must commit cleanly
+            txn(store2)
+        assert ids(store2, "a") == POST_A
+        assert ids(store2, "b") == POST_B
+        # no txn residue either way
+        assert not [f for f in os.listdir(wd_i) if f.startswith("_txn_")]
+
+    # sanity on the sweep itself: both outcomes must occur (crashes
+    # before the commit point roll back, after it roll forward)
+    assert any(results) and not all(results), results
